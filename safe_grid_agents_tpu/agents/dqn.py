@@ -1,0 +1,148 @@
+"""Deep Q-learning agent (reference deep.py, SURVEY.md §2a #9).
+
+Reference algorithm [H]: MLP over the board observation, ε-greedy with
+linear anneal, uniform replay buffer, target network hard-synced every
+``--sync-every`` updates, Huber (SmoothL1) TD loss, Adam. Flags mirrored:
+``--lr --discount --epsilon --batch-size --replay-capacity --sync-every``.
+
+TPU-first differences: the replay buffer lives on device as fixed-shape
+arrays storing *compact env states* (observations re-rendered at sample
+time), N transitions are pushed per vectorized step, and rollout + sampling
++ update fuse into one jitted chunk (SURVEY.md §7 step 5).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..utils import replay
+from .base import Agent
+from .networks import QMLP
+
+
+@struct.dataclass
+class DQNState:
+    params: Any
+    target_params: Any
+    opt_state: Any
+    buffer: replay.BufferState
+    step: jnp.ndarray     # i32 — env steps seen (drives ε anneal)
+    updates: jnp.ndarray  # i32 — gradient updates done (drives target sync)
+
+
+@struct.dataclass
+class Transition:
+    """Replay record: compact env states, not rendered boards."""
+
+    state: Any
+    action: jnp.ndarray
+    reward: jnp.ndarray
+    next_state: Any
+    done: jnp.ndarray
+
+
+class DQNAgent(Agent):
+    name = "deep-q"
+
+    def __init__(
+        self,
+        env,
+        lr: float = 1e-3,
+        discount: float = 0.99,
+        epsilon: float = 1.0,
+        epsilon_final: float = 0.05,
+        epsilon_anneal_steps: int = 100_000,
+        batch_size: int = 256,
+        replay_capacity: int = 100_000,
+        sync_every: int = 200,
+        hidden: tuple = (128, 128),
+    ):
+        super().__init__(env)
+        self.discount = discount
+        self.epsilon = epsilon
+        self.epsilon_final = epsilon_final
+        self.epsilon_anneal_steps = epsilon_anneal_steps
+        self.batch_size = batch_size
+        self.replay_capacity = replay_capacity
+        self.sync_every = sync_every
+        self.net = QMLP(n_actions=env.n_actions, hidden=hidden)
+        self.tx = optax.adam(lr)
+        self._v_observe = jax.vmap(env.observe)
+
+    def init(self, key) -> DQNState:
+        obs = self.env.observe(self.env.reset(key))
+        params = self.net.init(key, obs[None])
+        example = Transition(
+            state=self.env.reset(key),
+            action=jnp.int32(0),
+            reward=jnp.float32(0.0),
+            next_state=self.env.reset(key),
+            done=jnp.bool_(False),
+        )
+        return DQNState(
+            params=params,
+            target_params=params,
+            opt_state=self.tx.init(params),
+            buffer=replay.init(self.replay_capacity, example),
+            step=jnp.int32(0),
+            updates=jnp.int32(0),
+        )
+
+    def current_epsilon(self, step) -> jnp.ndarray:
+        frac = jnp.clip(step / self.epsilon_anneal_steps, 0.0, 1.0)
+        return self.epsilon + frac * (self.epsilon_final - self.epsilon)
+
+    def q_values(self, params, env_states) -> jnp.ndarray:
+        return self.net.apply(params, self._v_observe(env_states))
+
+    def act(self, astate: DQNState, env_states, key):
+        del key
+        return jnp.argmax(self.q_values(astate.params, env_states), -1).astype(
+            jnp.int32
+        )
+
+    def act_explore(self, astate: DQNState, env_states, key):
+        greedy = self.act(astate, env_states, key)
+        n = greedy.shape[0]
+        k1, k2 = jax.random.split(key)
+        rand = jax.random.randint(k1, (n,), 0, self.env.n_actions)
+        explore = jax.random.bernoulli(k2, self.current_epsilon(astate.step), (n,))
+        return jnp.where(explore, rand, greedy)
+
+    def td_loss(self, params, target_params, batch: Transition) -> jnp.ndarray:
+        q = self.net.apply(params, self._v_observe(batch.state))
+        q_sa = jnp.take_along_axis(q, batch.action[:, None], axis=-1).squeeze(-1)
+        q_next = self.net.apply(target_params, self._v_observe(batch.next_state))
+        target = batch.reward + self.discount * jnp.where(
+            batch.done, 0.0, q_next.max(-1)
+        )
+        return optax.huber_loss(q_sa, jax.lax.stop_gradient(target)).mean()
+
+    def update(self, astate: DQNState, key) -> tuple:
+        """One sampled gradient step + scheduled target sync."""
+        batch = replay.sample(astate.buffer, key, self.batch_size)
+        loss, grads = jax.value_and_grad(self.td_loss)(
+            astate.params, astate.target_params, batch
+        )
+        updates, opt_state = self.tx.update(grads, astate.opt_state, astate.params)
+        params = optax.apply_updates(astate.params, updates)
+        n_updates = astate.updates + 1
+        sync = (n_updates % self.sync_every) == 0
+        target_params = jax.tree.map(
+            lambda t, p: jnp.where(sync, p, t), astate.target_params, params
+        )
+        return (
+            DQNState(
+                params=params,
+                target_params=target_params,
+                opt_state=opt_state,
+                buffer=astate.buffer,
+                step=astate.step,
+                updates=n_updates,
+            ),
+            loss,
+        )

@@ -1,0 +1,92 @@
+"""Tabular Q-learning agent.
+
+Reference algorithm (SURVEY.md §2a #8, confidence H): ε-greedy with linear
+anneal; update ``Q[s,a] += lr · (r + γ·max_a' Q[s',a'] − Q[s,a])``; flags
+``--lr --discount --epsilon``. The reference keyed a defaultdict by hashed
+board bytes; here the state space is enumerable, so Q is a dense
+``[num_states, n_actions]`` array indexed by each env's perfect hash
+(``Env.state_index``) — no hashing, no host round-trips, fully vectorizable.
+
+Batched update note: with N parallel envs the N TD updates are applied with
+``.at[].add`` scatter-accumulation; duplicate (s, a) pairs within one batch
+each contribute a TD error computed against the *pre-update* Q (documented
+deviation from strictly-sequential single-env Q-learning; N=1 recovers the
+reference exactly).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .base import Agent
+
+
+@struct.dataclass
+class TabularQState:
+    q: jnp.ndarray     # [S, A] f32
+    step: jnp.ndarray  # i32 — global env-steps seen (drives ε anneal)
+
+
+class TabularQAgent(Agent):
+    name = "tabular-q"
+
+    def __init__(
+        self,
+        env,
+        lr: float = 0.1,
+        discount: float = 0.99,
+        epsilon: float = 1.0,
+        epsilon_final: float = 0.01,
+        epsilon_anneal_steps: int = 50_000,
+    ):
+        super().__init__(env)
+        assert env.num_states is not None, f"{env.name}: no tabular state index"
+        self.lr = lr
+        self.discount = discount
+        self.epsilon = epsilon
+        self.epsilon_final = epsilon_final
+        self.epsilon_anneal_steps = epsilon_anneal_steps
+        self._v_index = jax.vmap(env.state_index)
+
+    def init(self, key):
+        del key
+        return TabularQState(
+            q=jnp.zeros((self.env.num_states, self.env.n_actions), jnp.float32),
+            step=jnp.int32(0),
+        )
+
+    def current_epsilon(self, step) -> jnp.ndarray:
+        frac = jnp.clip(step / self.epsilon_anneal_steps, 0.0, 1.0)
+        return self.epsilon + frac * (self.epsilon_final - self.epsilon)
+
+    def act(self, astate: TabularQState, env_states, key):
+        del key
+        idx = self._v_index(env_states)
+        return jnp.argmax(astate.q[idx], axis=-1).astype(jnp.int32)
+
+    def act_explore(self, astate: TabularQState, env_states, key):
+        idx = self._v_index(env_states)
+        n = idx.shape[0]
+        k1, k2 = jax.random.split(key)
+        greedy = jnp.argmax(astate.q[idx], axis=-1).astype(jnp.int32)
+        rand = jax.random.randint(k1, (n,), 0, self.env.n_actions)
+        explore = jax.random.bernoulli(k2, self.current_epsilon(astate.step), (n,))
+        return jnp.where(explore, rand, greedy)
+
+    def learn(
+        self,
+        astate: TabularQState,
+        s_idx: jnp.ndarray,   # [N] i32 — pre-step state indices
+        actions: jnp.ndarray,  # [N] i32
+        rewards: jnp.ndarray,  # [N] f32
+        next_idx: jnp.ndarray,  # [N] i32 — post-step (pre-reset) indices
+        dones: jnp.ndarray,    # [N] bool
+    ) -> TabularQState:
+        q = astate.q
+        target = rewards + self.discount * jnp.where(
+            dones, 0.0, jnp.max(q[next_idx], axis=-1)
+        )
+        td = target - q[s_idx, actions]
+        q = q.at[s_idx, actions].add(self.lr * td)
+        return TabularQState(q=q, step=astate.step + s_idx.shape[0])

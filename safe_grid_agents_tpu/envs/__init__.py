@@ -1,23 +1,46 @@
 """Environment registry.
 
 Mirrors the reference's ``ENV_MAP`` alias dict (SURVEY.md §2a #2): alias →
-constructor. ``make_env(alias)`` builds the array engine; the matching oracle
-comes from ``safe_grid_agents_tpu.oracle.make_oracle``.
+constructor; aliases follow SURVEY.md §2c. ``make_env(alias)`` builds the
+array engine; the matching oracle comes from
+``safe_grid_agents_tpu.oracle.make_oracle``.
 """
 from __future__ import annotations
 
 from typing import Callable, Dict
 
+from .absent_supervisor import AbsentSupervisor
 from .base import Env
+from .boat_race import BoatRace
+from .conveyor_belt import ConveyorBelt
 from .distributional_shift import DistributionalShift
+from .friend_foe import FriendFoe
+from .interruptibility import SafeInterruptibility
 from .island_navigation import IslandNavigation
 from .sokoban import Sokoban
+from .tomato import TomatoCRMDP, TomatoWatering
+from .toy import ToyGridworld
+from .whisky_gold import WhiskyGold
 
 ENV_REGISTRY: Dict[str, Callable[..., Env]] = {
     "shift": DistributionalShift,
     "shift-test": lambda: DistributionalShift(testing=True),
     "island": IslandNavigation,
     "sokoban": Sokoban,
+    "boat": BoatRace,
+    "tomato": TomatoWatering,
+    "tomato-crmdp": TomatoCRMDP,
+    "whisky": WhiskyGold,
+    "absent": AbsentSupervisor,
+    "interrupt": SafeInterruptibility,
+    "conveyor": lambda: ConveyorBelt(variant="vase"),
+    "conveyor-sushi": lambda: ConveyorBelt(variant="sushi"),
+    "friend": lambda: FriendFoe(variant="friend"),
+    "foe": lambda: FriendFoe(variant="foe"),
+    "neutral": lambda: FriendFoe(variant="neutral"),
+    "corners": lambda: ToyGridworld(variant="corners"),
+    "way": lambda: ToyGridworld(variant="way"),
+    "toy": lambda: ToyGridworld(variant="uncorrupted"),
 }
 
 

@@ -3,7 +3,19 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-from .envs import IslandOracle, ShiftOracle, SokobanOracle
+from .envs import (
+    AbsentOracle,
+    BoatOracle,
+    ConveyorOracle,
+    FriendFoeOracle,
+    InterruptOracle,
+    IslandOracle,
+    ShiftOracle,
+    SokobanOracle,
+    TomatoOracle,
+    ToyOracle,
+    WhiskyOracle,
+)
 from .runner import OracleEnv, OracleRunner
 
 ORACLE_REGISTRY: Dict[str, Callable[..., OracleEnv]] = {
@@ -11,6 +23,20 @@ ORACLE_REGISTRY: Dict[str, Callable[..., OracleEnv]] = {
     "shift-test": lambda: ShiftOracle(testing=True),
     "island": IslandOracle,
     "sokoban": SokobanOracle,
+    "boat": BoatOracle,
+    "tomato": TomatoOracle,
+    "tomato-crmdp": TomatoOracle,
+    "whisky": WhiskyOracle,
+    "absent": AbsentOracle,
+    "interrupt": InterruptOracle,
+    "conveyor": lambda: ConveyorOracle(variant="vase"),
+    "conveyor-sushi": lambda: ConveyorOracle(variant="sushi"),
+    "friend": lambda: FriendFoeOracle(variant="friend"),
+    "foe": lambda: FriendFoeOracle(variant="foe"),
+    "neutral": lambda: FriendFoeOracle(variant="neutral"),
+    "corners": lambda: ToyOracle(variant="corners"),
+    "way": lambda: ToyOracle(variant="way"),
+    "toy": lambda: ToyOracle(variant="uncorrupted"),
 }
 
 
