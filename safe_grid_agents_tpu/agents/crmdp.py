@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -62,17 +63,29 @@ class PPOCRMDPAgent(PPOAgent):
         next_idx: jnp.ndarray,   # [T, N] i32 — arrival-state indices
         observed: jnp.ndarray,   # [T, N] f32
         hidden: jnp.ndarray,     # [T, N] f32
+        axis_name: str | None = None,
     ) -> jnp.ndarray:
-        """One SGD step of the least-squares attribution (see module doc)."""
+        """One normalized-LMS step of the least-squares attribution (module
+        doc). Per-env errors are normalized by that env's Σ_s n_is² (the
+        squared norm of its visit-count vector), which keeps the update
+        stable for any visit pattern (plain SGD diverges when a policy camps
+        on one state: the gradient scales with visits²). Under a data axis,
+        per-shard updates are pmean-ed so the replicated table stays
+        identical across devices."""
         resid = (observed - hidden).sum(axis=0)            # [N] aggregate only
         pred = corruption[next_idx].sum(axis=0)            # [N]
         err = pred - resid                                 # [N]
-        t = next_idx.shape[0]
-        # grad[s] = Σ_i err_i · n_is, via scatter-add over the trajectory.
-        grad = jnp.zeros_like(corruption).at[next_idx].add(
-            jnp.broadcast_to(err[None, :], next_idx.shape)
-        )
-        return corruption - self.crmdp_lr * grad / t
+        # Σ_s n_is² computed pairwise: m[t, i] = #{t' : s_it' == s_it}.
+        same = next_idx[:, None, :] == next_idx[None, :, :]  # [T, T, N]
+        denom = same.sum(axis=(0, 1)).astype(jnp.float32)    # [N] = Σ_s n_is²
+        err_norm = err / jnp.maximum(denom, 1.0)             # [N]
+        n = next_idx.shape[1]
+        delta = jnp.zeros_like(corruption).at[next_idx].add(
+            jnp.broadcast_to(err_norm[None, :], next_idx.shape)
+        ) / n
+        if axis_name is not None:
+            delta = jax.lax.pmean(delta, axis_name)
+        return corruption - self.crmdp_lr * delta
 
     def relabel(self, corruption, rewards, next_idx):
         """r′ = r − ĉ(arrival state)."""

@@ -122,12 +122,18 @@ class DQNAgent(Agent):
         )
         return optax.huber_loss(q_sa, jax.lax.stop_gradient(target)).mean()
 
-    def update(self, astate: DQNState, key) -> tuple:
-        """One sampled gradient step + scheduled target sync."""
+    def update(self, astate: DQNState, key, axis_name: str | None = None) -> tuple:
+        """One sampled gradient step + scheduled target sync. Under
+        ``shard_map`` each device samples its own shard's buffer; ``psum``-
+        averaged gradients keep the replicated params in lockstep
+        (SURVEY.md §2d)."""
         batch = replay.sample(astate.buffer, key, self.batch_size)
         loss, grads = jax.value_and_grad(self.td_loss)(
             astate.params, astate.target_params, batch
         )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
         updates, opt_state = self.tx.update(grads, astate.opt_state, astate.params)
         params = optax.apply_updates(astate.params, updates)
         n_updates = astate.updates + 1

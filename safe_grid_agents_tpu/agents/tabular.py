@@ -82,11 +82,20 @@ class TabularQAgent(Agent):
         rewards: jnp.ndarray,  # [N] f32
         next_idx: jnp.ndarray,  # [N] i32 — post-step (pre-reset) indices
         dones: jnp.ndarray,    # [N] bool
+        axis_name: str | None = None,
     ) -> TabularQState:
+        """Batched TD update. Under ``shard_map`` over a data axis, pass
+        ``axis_name`` so per-shard Q deltas are summed over ICI (psum) and
+        every device applies the identical update to its replicated table
+        (SURVEY.md §2d data parallelism)."""
         q = astate.q
         target = rewards + self.discount * jnp.where(
             dones, 0.0, jnp.max(q[next_idx], axis=-1)
         )
         td = target - q[s_idx, actions]
-        q = q.at[s_idx, actions].add(self.lr * td)
-        return TabularQState(q=q, step=astate.step + s_idx.shape[0])
+        delta = jnp.zeros_like(q).at[s_idx, actions].add(self.lr * td)
+        n = jnp.int32(s_idx.shape[0])
+        if axis_name is not None:
+            delta = jax.lax.psum(delta, axis_name)
+            n = jax.lax.psum(n, axis_name)
+        return TabularQState(q=q + delta, step=astate.step + n)

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from ..agents.crmdp import CRMDPState, PPOCRMDPAgent
 from ..envs.vec import VecEnv, VecState
 from .common import ChunkStats
-from .ppo import PPOTrainer, compute_gae
+from .ppo import PPOTrainer, _whiten, compute_gae
 
 
 class CRMDPTrainer(PPOTrainer):
@@ -20,7 +20,12 @@ class CRMDPTrainer(PPOTrainer):
         self._v_index = jax.vmap(vec.env.state_index)
 
     def train_chunk(
-        self, astate: CRMDPState, vstate: VecState, key, n_steps: int
+        self,
+        astate: CRMDPState,
+        vstate: VecState,
+        key,
+        n_steps: int,
+        axis_name: str | None = None,
     ) -> Tuple[CRMDPState, VecState, ChunkStats, jnp.ndarray]:
         agent: PPOCRMDPAgent = self.agent
         vstate, key, stats, traj = self.collect(astate, vstate, key, n_steps)
@@ -31,7 +36,11 @@ class CRMDPTrainer(PPOTrainer):
         next_idx = traj["next_idx"]
 
         corruption = agent.update_corruption(
-            astate.corruption, next_idx, traj["observed"], traj["hidden"]
+            astate.corruption,
+            next_idx,
+            traj["observed"],
+            traj["hidden"],
+            axis_name=axis_name,
         )
         relabeled = agent.relabel(corruption, traj["rewards"], next_idx)
 
@@ -44,9 +53,10 @@ class CRMDPTrainer(PPOTrainer):
             agent.discount,
             agent.gae_lambda,
         )
-        advantages = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        advantages = _whiten(advantages, axis_name)
 
-        batch_size = n_steps * self.vec.n_envs
+        # Per-shard batch: under shard_map the local env count is N/D.
+        batch_size = n_steps * traj["actions"].shape[1]
         flat = {
             "states": jax.tree.map(
                 lambda x: x.reshape((batch_size,) + x.shape[2:]), traj["states"]
@@ -57,7 +67,9 @@ class CRMDPTrainer(PPOTrainer):
             "returns": returns.reshape(batch_size),
         }
         key, ko = jax.random.split(key)
-        params, opt_state, loss = self.optimize(astate, flat, ko, batch_size)
+        params, opt_state, loss = self.optimize(
+            astate, flat, ko, batch_size, axis_name=axis_name
+        )
         astate = CRMDPState(
             params=params,
             opt_state=opt_state,

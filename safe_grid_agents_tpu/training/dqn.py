@@ -54,8 +54,10 @@ class DQNTrainer:
         def body(carry, _):
             astate, vs, k, stats = carry
             k, ka = jax.random.split(k)
+            # Local env count (N/D under shard_map), not the global n_envs.
+            n_local = jax.tree.leaves(vs.env)[0].shape[0]
             actions = jax.random.randint(
-                ka, (self.vec.n_envs,), 0, self.vec.env.n_actions
+                ka, (n_local,), 0, self.vec.env.n_actions
             )
             pre_env = vs.env
             vs, out = self.vec.step(vs, actions)
@@ -70,7 +72,12 @@ class DQNTrainer:
         return astate, vstate, stats
 
     def train_chunk(
-        self, astate: DQNState, vstate: VecState, key, n_steps: int
+        self,
+        astate: DQNState,
+        vstate: VecState,
+        key,
+        n_steps: int,
+        axis_name: str | None = None,
     ) -> Tuple[DQNState, VecState, ChunkStats, jnp.ndarray]:
         """T env steps (collect) then U gradient updates (learn)."""
         agent = self.agent
@@ -95,7 +102,7 @@ class DQNTrainer:
         def update(carry, _):
             astate, k = carry
             k, ku = jax.random.split(k)
-            astate, loss = agent.update(astate, ku)
+            astate, loss = agent.update(astate, ku, axis_name=axis_name)
             return (astate, k), loss
 
         (astate, _), losses = jax.lax.scan(

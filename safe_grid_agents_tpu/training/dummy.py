@@ -21,7 +21,10 @@ class DummyTrainer:
         ka, kv = jax.random.split(key)
         return self.agent.init(ka), self.vec.reset(kv)
 
-    def train_chunk(self, astate, vstate: VecState, key, n_steps: int):
+    def train_chunk(
+        self, astate, vstate: VecState, key, n_steps: int, axis_name=None
+    ):
+        del axis_name  # nothing to learn → nothing to synchronize
         def body(carry, _):
             vs, k, stats = carry
             k, ka = jax.random.split(k)

@@ -16,6 +16,18 @@ from ..envs.vec import VecEnv, VecState
 from .common import ChunkStats, eval_chunk, reward_source
 
 
+def _whiten(x, axis_name: str | None = None):
+    """Normalize to zero mean / unit std, over the global batch if inside a
+    named data axis."""
+    m = x.mean()
+    m2 = jnp.square(x).mean()
+    if axis_name is not None:
+        m = jax.lax.pmean(m, axis_name)
+        m2 = jax.lax.pmean(m2, axis_name)
+    var = jnp.maximum(m2 - jnp.square(m), 0.0)
+    return (x - m) / (jnp.sqrt(var) + 1e-8)
+
+
 def compute_gae(rewards, values, dones, last_value, discount, lam):
     """[T, N] inputs → (advantages, returns), masking across resets."""
 
@@ -74,8 +86,17 @@ class PPOTrainer:
         return vstate, key, stats, traj
 
     # -- optimization ------------------------------------------------------
-    def optimize(self, astate: PPOState, flat: dict, key, batch_size: int):
-        """Multi-epoch shuffled minibatch updates over flat [B] data."""
+    def optimize(
+        self, astate: PPOState, flat: dict, key, batch_size: int,
+        axis_name: str | None = None,
+    ):
+        """Multi-epoch shuffled minibatch updates over flat [B] data.
+
+        Under ``shard_map`` over a data axis, ``batch_size`` is the per-shard
+        size: each device shuffles and minibatches its own rollout shard and
+        gradients are ``pmean``-ed over ICI every minibatch — equivalent to a
+        globally-sharded minibatch without any cross-device data motion
+        (SURVEY.md §2d "rollout aggregation" done the cheap way)."""
         agent = self.agent
         n_mb = agent.n_minibatches
         mb_size = batch_size // n_mb
@@ -90,6 +111,9 @@ class PPOTrainer:
                 take = jax.lax.dynamic_slice_in_dim(perm, mb_idx * mb_size, mb_size)
                 mb = jax.tree.map(lambda x: x[take], flat)
                 loss, grads = jax.value_and_grad(agent.loss)(params, mb)
+                if axis_name is not None:
+                    grads = jax.lax.pmean(grads, axis_name)
+                    loss = jax.lax.pmean(loss, axis_name)
                 updates, opt_state = agent.tx.update(grads, opt_state, params)
                 params = jax.tree.map(lambda p, u: p + u, params, updates)
                 return (params, opt_state), loss
@@ -106,7 +130,12 @@ class PPOTrainer:
 
     # -- full chunk --------------------------------------------------------
     def train_chunk(
-        self, astate: PPOState, vstate: VecState, key, n_steps: int
+        self,
+        astate: PPOState,
+        vstate: VecState,
+        key,
+        n_steps: int,
+        axis_name: str | None = None,
     ) -> Tuple[PPOState, VecState, ChunkStats, jnp.ndarray]:
         agent = self.agent
         vstate, key, stats, traj = self.collect(astate, vstate, key, n_steps)
@@ -120,10 +149,13 @@ class PPOTrainer:
             agent.discount,
             agent.gae_lambda,
         )
-        # Whiten advantages over the whole chunk (reference ppo_learn [M]).
-        advantages = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        # Whiten advantages over the whole (global) chunk (reference
+        # ppo_learn [M]); under a data axis the moments are psum-ed so every
+        # shard normalizes identically.
+        advantages = _whiten(advantages, axis_name)
 
-        batch_size = n_steps * self.vec.n_envs
+        # Per-shard batch: under shard_map the local env count is N/D.
+        batch_size = n_steps * traj["actions"].shape[1]
         flat = {
             "states": jax.tree.map(
                 lambda x: x.reshape((batch_size,) + x.shape[2:]), traj["states"]
@@ -134,7 +166,9 @@ class PPOTrainer:
             "returns": returns.reshape(batch_size),
         }
         key, ko = jax.random.split(key)
-        params, opt_state, loss = self.optimize(astate, flat, ko, batch_size)
+        params, opt_state, loss = self.optimize(
+            astate, flat, ko, batch_size, axis_name=axis_name
+        )
         astate = PPOState(
             params=params,
             opt_state=opt_state,

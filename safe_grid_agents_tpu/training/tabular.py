@@ -24,7 +24,12 @@ class TabularQTrainer:
         return self.agent.init(ka), self.vec.reset(kv)
 
     def train_chunk(
-        self, astate: TabularQState, vstate: VecState, key, n_steps: int
+        self,
+        astate: TabularQState,
+        vstate: VecState,
+        key,
+        n_steps: int,
+        axis_name: str | None = None,
     ) -> Tuple[TabularQState, VecState, ChunkStats]:
         agent, vec = self.agent, self.vec
 
@@ -42,6 +47,7 @@ class TabularQTrainer:
                 reward_source(out, self.cheat),
                 next_idx,
                 out.done,
+                axis_name=axis_name,
             )
             return (astate, vs, k, stats.accumulate(out)), None
 

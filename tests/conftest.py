@@ -1,13 +1,12 @@
 """Test configuration: run correctness tests on CPU with 8 virtual devices.
 
 SURVEY.md §4 item 4: multi-device behavior is tested without a pod via
-``--xla_force_host_platform_device_count``. This must be set before jax
-initializes, hence module scope here.
+virtual CPU devices. NOTE: this environment pre-imports jax at interpreter
+startup with the axon TPU platform forced, so env vars (JAX_PLATFORMS /
+XLA_FLAGS) are consumed before pytest runs — the working mechanism is
+jax.config.update BEFORE first backend use, which conftest guarantees.
 """
-import os
+import jax
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
