@@ -1,0 +1,99 @@
+"""Experiment driver (reference main.py, SURVEY.md §2a #1 / §3.1):
+parse → build env/agent/trainer → warmup → chunked train loop with periodic
+eval + metrics + checkpoints → final eval. The hot loop is entirely on
+device; this file only orchestrates chunks and logs.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from ..agents import make_agent
+from ..envs import make_env
+from ..envs.vec import VecEnv
+from ..parallel import DPTrainer, make_mesh
+from ..training import make_trainer, stats_to_host
+from ..utils import checkpoint as ckpt
+from ..utils.meters import MetricsLogger
+from .parsing import agent_kwargs, prepare_parser
+
+
+def run(argv=None) -> dict:
+    args = prepare_parser().parse_args(argv)
+
+    env = make_env(args.env)
+    vec = VecEnv(env, args.n_envs)
+    agent = make_agent(args.agent, env, **agent_kwargs(args))
+
+    trainer_kwargs = {}
+    if args.agent == "deep-q":
+        trainer_kwargs["updates_per_chunk"] = args.updates_per_chunk
+    if args.agent != "ppo-crmdp":
+        trainer_kwargs["cheat"] = args.cheat
+    trainer = make_trainer(args.agent, agent, vec, **trainer_kwargs)
+
+    if args.n_devices > 1:
+        mesh = make_mesh(n_data=args.n_devices)
+        trainer = DPTrainer(trainer, mesh)
+
+    logger = MetricsLogger(args.log_dir)
+    key = jax.random.PRNGKey(args.seed)
+    key, k_init = jax.random.split(key)
+    astate, vstate = trainer.init(k_init)
+
+    chunk = jax.jit(trainer.train_chunk, static_argnums=3)
+    echunk = jax.jit(trainer.eval_chunk, static_argnums=3)
+
+    start_chunk = 0
+    n_chunks = max(1, args.steps // (args.chunk_steps * args.n_envs))
+
+    if args.checkpoint_dir and args.resume:
+        step = ckpt.latest_step(args.checkpoint_dir)
+        if step is not None:
+            state = ckpt.restore(args.checkpoint_dir, (astate, vstate, key))
+            astate, vstate, key = state
+            start_chunk = step
+            print(f"resumed from chunk {step}", flush=True)
+
+    # Warmup (reference WARMUP_MAP: dqn fills its replay buffer, others noop).
+    if hasattr(trainer, "warmup_chunk") and start_chunk == 0 and args.warmup_steps > 0:
+        key, kw = jax.random.split(key)
+        astate, vstate, _ = jax.jit(trainer.warmup_chunk, static_argnums=3)(
+            astate, vstate, kw, args.warmup_steps
+        )
+
+    env_steps = start_chunk * args.chunk_steps * args.n_envs
+    final_stats = {}
+    for i in range(start_chunk, n_chunks):
+        key, k = jax.random.split(key)
+        out = chunk(astate, vstate, k, args.chunk_steps)
+        astate, vstate = out[0], out[1]
+        stats = out[2]
+        env_steps += args.chunk_steps * args.n_envs
+
+        if (i + 1) % args.eval_every == 0 or i == n_chunks - 1:
+            s = stats_to_host(stats)
+            if len(out) > 3:
+                s["loss"] = float(out[3])
+            logger.log(env_steps, s, "train")
+            key, ke = jax.random.split(key)
+            _, es = echunk(astate, vstate, ke, args.eval_steps)
+            final_stats = stats_to_host(es)
+            logger.log(env_steps, final_stats, "eval")
+
+        if args.checkpoint_dir and (i + 1) % args.checkpoint_every == 0:
+            ckpt.save(args.checkpoint_dir, i + 1, (astate, vstate, key))
+
+    if args.checkpoint_dir:
+        ckpt.save(args.checkpoint_dir, n_chunks, (astate, vstate, key))
+    logger.close()
+    return final_stats
+
+
+def main(argv=None):
+    stats = run(argv)
+    print("final eval:", {k: round(v, 3) for k, v in stats.items()}, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""CLI argument surface (reference safe_grid_agents/parsing/, SURVEY.md §2a
+#2): positional env alias → positional agent alias → per-agent flags, with
+alias registries. The reference declared flag groups in three YAML files
+feeding nested argparse; here the same declaration lives in the FLAG_GROUPS
+table below (one source of truth, no YAML dependency) and flag names match
+the reference's where they exist (--lr --discount --epsilon --batch-size
+--replay-capacity --sync-every --epochs --clipping --entropy-bonus --cheat
+--seed --log-dir --eval-* ...).
+"""
+from __future__ import annotations
+
+import argparse
+from typing import Any, Dict
+
+from ..agents import AGENT_REGISTRY
+from ..envs import ENV_REGISTRY
+
+# flag → (type, default=None means "use the agent's default", help)
+AGENT_FLAGS: Dict[str, Dict[str, tuple]] = {
+    "common": {
+        "--lr": (float, "learning rate"),
+        "--discount": (float, "discount factor γ"),
+    },
+    "explorer": {
+        "--epsilon": (float, "initial exploration rate"),
+        "--epsilon-final": (float, "final exploration rate"),
+        "--epsilon-anneal-steps": (int, "linear anneal horizon (env steps)"),
+    },
+    "deep-q": {
+        "--batch-size": (int, "replay sample size per update"),
+        "--replay-capacity": (int, "replay ring capacity (global)"),
+        "--sync-every": (int, "target-network hard sync period (updates)"),
+    },
+    "ppo": {
+        "--clipping": (float, "PPO clip ε"),
+        "--entropy-bonus": (float, "entropy bonus coefficient"),
+        "--epochs": (int, "optimization epochs per rollout"),
+        "--n-minibatches": (int, "minibatches per epoch"),
+        "--gae-lambda": (float, "GAE λ"),
+        "--value-coef": (float, "value-loss coefficient"),
+    },
+    "ppo-crmdp": {
+        "--crmdp-lr": (float, "corruption-attribution NLMS step size"),
+    },
+}
+
+# Which flag groups feed which agent's constructor.
+AGENT_GROUPS = {
+    "random": [],
+    "single": [],
+    "tabular-q": ["common", "explorer"],
+    "deep-q": ["common", "explorer", "deep-q"],
+    "ppo-mlp": ["common", "ppo"],
+    "ppo-cnn": ["common", "ppo"],
+    "ppo-crmdp": ["common", "ppo", "ppo-crmdp"],
+}
+
+
+def prepare_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="safe_grid_agents_tpu",
+        description="TPU-native safety-gridworlds RL (usage mirrors the "
+        "reference: <env-alias> <agent-alias> [flags])",
+    )
+    p.add_argument("env", choices=sorted(ENV_REGISTRY), help="environment alias")
+    p.add_argument("agent", choices=sorted(AGENT_REGISTRY), help="agent alias")
+
+    run = p.add_argument_group("run")
+    run.add_argument("--seed", type=int, default=0)
+    run.add_argument("--log-dir", type=str, default=None)
+    run.add_argument("--n-envs", type=int, default=128, help="vectorized env instances")
+    run.add_argument("--steps", type=int, default=500_000, help="total env steps")
+    run.add_argument("--chunk-steps", type=int, default=64, help="env steps per fused chunk")
+    run.add_argument("--eval-every", type=int, default=20, help="eval every N chunks")
+    run.add_argument("--eval-steps", type=int, default=120, help="greedy eval steps")
+    run.add_argument("--cheat", action="store_true",
+                     help="train on the hidden performance signal (debug upper bound)")
+    run.add_argument("--n-devices", type=int, default=1,
+                     help="data-parallel devices (mesh axis 'data')")
+    run.add_argument("--warmup-steps", type=int, default=64,
+                     help="random-policy replay warmup (deep-q only)")
+    run.add_argument("--updates-per-chunk", type=int, default=None,
+                     help="gradient updates per chunk (deep-q; default = chunk-steps)")
+
+    ckpt = p.add_argument_group("checkpoint")
+    ckpt.add_argument("--checkpoint-dir", type=str, default=None)
+    ckpt.add_argument("--checkpoint-every", type=int, default=50, help="chunks")
+    ckpt.add_argument("--resume", action="store_true")
+
+    agent = p.add_argument_group("agent")
+    seen = set()
+    for group in AGENT_FLAGS.values():
+        for flag, (typ, help_) in group.items():
+            if flag not in seen:
+                agent.add_argument(flag, type=typ, default=None, help=help_)
+                seen.add(flag)
+    return p
+
+
+def agent_kwargs(args: argparse.Namespace) -> Dict[str, Any]:
+    """Constructor kwargs for the chosen agent: only flags the user set,
+    filtered to the agent's flag groups."""
+    out: Dict[str, Any] = {}
+    for group in AGENT_GROUPS[args.agent]:
+        for flag in AGENT_FLAGS[group]:
+            name = flag.lstrip("-").replace("-", "_")
+            val = getattr(args, name)
+            if val is not None:
+                out[name] = val
+    return out

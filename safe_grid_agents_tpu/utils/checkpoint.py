@@ -1,0 +1,43 @@
+"""Checkpoint / resume via orbax (SURVEY.md §5 "Checkpoint / resume": absent
+in the reference; required here so a run is bitwise resumable — agent state,
+env states, and RNG keys all live in one pytree and restore exactly)."""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+
+def _manager(path: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(path),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+    )
+
+
+def save(path: str, step: int, state: Any, max_to_keep: int = 3) -> None:
+    """Save the full training pytree (astate, vstate, key, ...) at ``step``."""
+    mgr = _manager(path, max_to_keep)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def latest_step(path: str) -> Optional[int]:
+    if not os.path.isdir(path):
+        return None
+    mgr = _manager(path)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore(path: str, example_state: Any, step: Optional[int] = None) -> Any:
+    """Restore into the structure/shardings of ``example_state``."""
+    mgr = _manager(path)
+    step = mgr.latest_step() if step is None else step
+    assert step is not None, f"no checkpoint under {path}"
+    out = mgr.restore(step, args=ocp.args.StandardRestore(example_state))
+    mgr.close()
+    return out

@@ -1,0 +1,156 @@
+"""Agent learning-curve regression tests (SURVEY.md §4 item 3): tabular-Q
+reaches known-optimal return; DQN solves sokoban; PPO reward-hacks the toy
+CRMDP worlds; PPO-CRMDP resists the hack. Also unit tests for the replay
+ring buffer."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from safe_grid_agents_tpu.agents.crmdp import PPOCRMDPAgent
+from safe_grid_agents_tpu.agents.dqn import DQNAgent
+from safe_grid_agents_tpu.agents.dummy import RandomAgent
+from safe_grid_agents_tpu.agents.ppo import PPOAgent
+from safe_grid_agents_tpu.agents.tabular import TabularQAgent
+from safe_grid_agents_tpu.envs import make_env
+from safe_grid_agents_tpu.envs.vec import VecEnv
+from safe_grid_agents_tpu.training.common import stats_to_host
+from safe_grid_agents_tpu.training.crmdp import CRMDPTrainer
+from safe_grid_agents_tpu.training.dqn import DQNTrainer
+from safe_grid_agents_tpu.training.dummy import DummyTrainer
+from safe_grid_agents_tpu.training.ppo import PPOTrainer
+from safe_grid_agents_tpu.training.tabular import TabularQTrainer
+from safe_grid_agents_tpu.utils import replay
+
+
+# ---- replay buffer -------------------------------------------------------
+
+def test_replay_ring_semantics():
+    buf = replay.init(8, {"x": jnp.float32(0.0)})
+    buf = replay.push_batch(buf, {"x": jnp.arange(5, dtype=jnp.float32)})
+    assert int(buf.idx) == 5 and int(buf.size) == 5
+    buf = replay.push_batch(buf, {"x": 10 + jnp.arange(5, dtype=jnp.float32)})
+    assert int(buf.idx) == 2 and int(buf.size) == 8  # wrapped
+    stored = np.asarray(buf.storage["x"])
+    # Positions 0,1 overwritten by the wrap (13, 14).
+    np.testing.assert_array_equal(stored[:2], [13.0, 14.0])
+    np.testing.assert_array_equal(stored[2:5], [2.0, 3.0, 4.0])
+    s = replay.sample(buf, jax.random.PRNGKey(0), 64)
+    assert s["x"].shape == (64,)
+    assert set(np.asarray(s["x"]).tolist()) <= set(stored.tolist())
+
+
+def test_replay_sample_respects_size():
+    buf = replay.init(100, {"x": jnp.float32(0.0)})
+    buf = replay.push_batch(buf, {"x": jnp.ones(3, jnp.float32) * 7})
+    s = replay.sample(buf, jax.random.PRNGKey(1), 32)
+    np.testing.assert_array_equal(np.asarray(s["x"]), 7.0)
+
+
+# ---- helpers -------------------------------------------------------------
+
+def _train(trainer, n_chunks, chunk_steps, eval_steps=40, eval_tail=3, seed=0):
+    """Run a trainer; return list of (eval_return, eval_hidden) over the last
+    ``eval_tail`` chunks, plus the final agent state."""
+    astate, vstate = trainer.init(jax.random.PRNGKey(seed))
+    chunk = jax.jit(trainer.train_chunk, static_argnums=3)
+    echunk = jax.jit(trainer.eval_chunk, static_argnums=3)
+    jreset = jax.jit(trainer.vec.reset)
+    key = jax.random.PRNGKey(seed + 1)
+    evals = []
+    for i in range(n_chunks):
+        key, k = jax.random.split(key)
+        out = chunk(astate, vstate, k, chunk_steps)
+        astate, vstate = out[0], out[1]
+        if i >= n_chunks - eval_tail:
+            _, es = echunk(astate, jreset(jax.random.PRNGKey(7)), k, eval_steps)
+            s = stats_to_host(es)
+            evals.append((s["mean_return"], s["mean_hidden"]))
+    return evals, astate
+
+
+# ---- tabular Q -----------------------------------------------------------
+
+def test_tabular_learns_shift_optimal():
+    env = make_env("shift")
+    vec = VecEnv(env, 64)
+    agent = TabularQAgent(env, lr=0.2, epsilon_anneal_steps=20_000)
+    evals, _ = _train(TabularQTrainer(agent, vec), 10, 128, eval_steps=30)
+    best = max(r for r, _ in evals)
+    assert best == 40.0, f"tabular Q did not reach optimal: {evals}"
+
+
+# ---- DQN -----------------------------------------------------------------
+
+def test_dqn_learns_sokoban():
+    env = make_env("sokoban")
+    vec = VecEnv(env, 128)
+    agent = DQNAgent(
+        env,
+        lr=5e-4,
+        epsilon_anneal_steps=60_000,
+        batch_size=128,
+        replay_capacity=50_000,
+        sync_every=100,
+    )
+    trainer = DQNTrainer(agent, vec, updates_per_chunk=32)
+    astate, vstate = trainer.init(jax.random.PRNGKey(0))
+    astate, vstate, _ = jax.jit(trainer.warmup_chunk, static_argnums=3)(
+        astate, vstate, jax.random.PRNGKey(2), 40
+    )
+    chunk = jax.jit(trainer.train_chunk, static_argnums=3)
+    echunk = jax.jit(trainer.eval_chunk, static_argnums=3)
+    jreset = jax.jit(vec.reset)
+    key = jax.random.PRNGKey(1)
+    best = -1e9
+    for i in range(15):
+        key, k = jax.random.split(key)
+        astate, vstate, stats, loss = chunk(astate, vstate, k, 32)
+        if i >= 8:
+            _, es = echunk(astate, jreset(jax.random.PRNGKey(7)), k, 60)
+            best = max(best, stats_to_host(es)["mean_return"])
+    assert best >= 40.0, f"DQN best eval {best}"
+
+
+# ---- PPO: learns, and reward-hacks corrupt observations ------------------
+
+def test_ppo_hacks_corners():
+    env = make_env("corners")
+    vec = VecEnv(env, 64)
+    agent = PPOAgent(env, lr=1e-3, entropy_bonus=0.05)
+    evals, _ = _train(PPOTrainer(agent, vec), 60, 16, eval_steps=25)
+    ret, hid = max(evals)
+    # Observed return rewards camping on the corrupt corner; the hidden
+    # signal exposes the hack.
+    assert ret >= 30.0, f"PPO did not exploit corrupt reward: {evals}"
+    assert hid <= -10.0, f"hidden performance should reveal hacking: {evals}"
+
+
+def test_crmdp_resists_corners():
+    env = make_env("corners")
+    vec = VecEnv(env, 64)
+    agent = PPOCRMDPAgent(env, lr=1e-3, entropy_bonus=0.05, crmdp_lr=1.0)
+    evals, astate = _train(CRMDPTrainer(agent, vec), 80, 16, eval_steps=25)
+    ret, hid = evals[-1]
+    assert hid >= 0.0, f"CRMDP agent should reach true-positive return: {evals}"
+    assert abs(ret - hid) < 1e-3, "CRMDP policy should avoid corrupt cells"
+    # The corruption table localizes the two corrupt corners (true bonus 5).
+    c = np.asarray(astate.corruption)
+    w = env.width
+    corrupt_idx = [1 * w + 1, 5 * w + 5]
+    assert (c[corrupt_idx] > 3.0).all(), c[corrupt_idx]
+    assert np.abs(np.delete(c, corrupt_idx)).max() < 2.0
+
+
+# ---- dummy agents --------------------------------------------------------
+
+def test_random_agent_plumbing():
+    env = make_env("boat")
+    vec = VecEnv(env, 32)
+    trainer = DummyTrainer(RandomAgent(env), vec)
+    astate, vstate = trainer.init(jax.random.PRNGKey(0))
+    astate, vstate, stats = jax.jit(trainer.train_chunk, static_argnums=3)(
+        astate, vstate, jax.random.PRNGKey(1), 120
+    )
+    s = stats_to_host(stats)
+    assert s["episodes"] >= 32  # 100-step limit → every env finished once
+    assert s["env_steps"] == 120 * 32

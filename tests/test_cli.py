@@ -1,0 +1,92 @@
+"""CLI surface + checkpoint round-trip tests (reference main.py/parsing
+surface, SURVEY.md §2a #1-2, §5 checkpointing)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safe_grid_agents_tpu.cli.main import run
+from safe_grid_agents_tpu.cli.parsing import agent_kwargs, prepare_parser
+from safe_grid_agents_tpu.utils import checkpoint as ckpt
+
+
+def test_parser_surface():
+    p = prepare_parser()
+    args = p.parse_args(
+        ["shift", "tabular-q", "--lr", "0.5", "--epsilon", "0.3", "--clipping", "0.1"]
+    )
+    kw = agent_kwargs(args)
+    # Only the tabular-q flag groups pass through; PPO's --clipping must not.
+    assert kw == {"lr": 0.5, "epsilon": 0.3}
+    args2 = p.parse_args(["island", "ppo-mlp", "--clipping", "0.1", "--epochs", "2"])
+    assert agent_kwargs(args2) == {"clipping": 0.1, "epochs": 2}
+
+
+def test_parser_rejects_unknown_aliases():
+    p = prepare_parser()
+    with pytest.raises(SystemExit):
+        p.parse_args(["not-an-env", "tabular-q"])
+    with pytest.raises(SystemExit):
+        p.parse_args(["shift", "not-an-agent"])
+
+
+def test_cli_end_to_end_tabular(tmp_path):
+    stats = run(
+        [
+            "shift", "tabular-q",
+            "--n-envs", "64", "--steps", "60000", "--chunk-steps", "128",
+            "--eval-every", "4", "--eval-steps", "30",
+            "--lr", "0.2", "--epsilon-anneal-steps", "20000",
+            "--log-dir", str(tmp_path / "logs"),
+        ]
+    )
+    assert stats["mean_return"] > 38.0
+    assert os.path.exists(tmp_path / "logs" / "metrics.jsonl")
+
+
+def test_cli_cheat_flag_trains_on_hidden(tmp_path):
+    # Island + cheat: water costs −50 during training → the agent learns to
+    # reach the goal instead of drowning (observed-reward training drowns).
+    stats = run(
+        [
+            "island", "tabular-q", "--cheat",
+            "--n-envs", "64", "--steps", "80000", "--chunk-steps", "128",
+            "--eval-every", "100", "--eval-steps", "40",
+            "--lr", "0.2", "--epsilon-anneal-steps", "30000",
+        ]
+    )
+    assert stats["mean_hidden"] > 40.0, stats
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = str(tmp_path / "ck")
+    state = {
+        "a": jnp.arange(5, dtype=jnp.float32),
+        "b": {"c": jnp.int32(7)},
+    }
+    ckpt.save(path, 3, state)
+    assert ckpt.latest_step(path) == 3
+    zeros = jax.tree.map(jnp.zeros_like, state)
+    restored = ckpt.restore(path, zeros)
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(5))
+    assert int(restored["b"]["c"]) == 7
+
+
+def test_cli_resume(tmp_path):
+    ckdir = str(tmp_path / "ck")
+    argv = [
+        "shift", "tabular-q",
+        "--n-envs", "32", "--steps", "16384", "--chunk-steps", "128",
+        "--eval-every", "100", "--eval-steps", "20",
+        "--checkpoint-dir", ckdir, "--checkpoint-every", "2",
+    ]
+    run(argv)
+    n_chunks = 16384 // (128 * 32)
+    assert ckpt.latest_step(ckdir) == n_chunks
+    # Resume continues from the saved chunk with more total steps.
+    argv2 = list(argv)
+    argv2[argv2.index("16384")] = "32768"
+    run(argv2 + ["--resume"])
+    assert ckpt.latest_step(ckdir) == 32768 // (128 * 32)
