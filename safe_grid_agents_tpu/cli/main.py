@@ -21,7 +21,7 @@ from .parsing import agent_kwargs, prepare_parser
 def run(argv=None) -> dict:
     args = prepare_parser().parse_args(argv)
 
-    env = make_env(args.env)
+    env = make_env(args.env, compiled=args.compiled)
     vec = VecEnv(env, args.n_envs)
     agent = make_agent(args.agent, env, **agent_kwargs(args))
 

@@ -75,6 +75,9 @@ def prepare_parser() -> argparse.ArgumentParser:
     run.add_argument("--eval-steps", type=int, default=120, help="greedy eval steps")
     run.add_argument("--cheat", action="store_true",
                      help="train on the hidden performance signal (debug upper bound)")
+    run.add_argument("--compiled", action="store_true",
+                     help="lower the env to the lookup-table engine (bitwise-"
+                          "identical, fastest; enumerable envs only)")
     run.add_argument("--n-devices", type=int, default=1,
                      help="data-parallel devices (mesh axis 'data')")
     run.add_argument("--warmup-steps", type=int, default=64,

@@ -44,7 +44,20 @@ ENV_REGISTRY: Dict[str, Callable[..., Env]] = {
 }
 
 
-def make_env(alias: str, **kwargs) -> Env:
+def make_env(alias: str, compiled: bool = False, **kwargs) -> Env:
+    """Build an env by alias. ``compiled=True`` lowers it to the lookup-table
+    engine (envs/compiled.py) — bitwise-identical semantics, pure-gather
+    steps; only enumerable-deterministic envs support it."""
     if alias not in ENV_REGISTRY:
         raise KeyError(f"unknown env alias {alias!r}; known: {sorted(ENV_REGISTRY)}")
-    return ENV_REGISTRY[alias](**kwargs)
+    env = ENV_REGISTRY[alias](**kwargs)
+    if compiled:
+        from .compiled import COMPILEABLE, compile_env
+
+        if alias not in COMPILEABLE:
+            raise ValueError(
+                f"{alias!r} is not compileable (stochastic per-step dynamics "
+                f"or unbounded cross-episode state); compileable: {COMPILEABLE}"
+            )
+        env = compile_env(env)
+    return env

@@ -69,7 +69,10 @@ class ConveyorBelt(Env):
         self.obj_start = np.array(belt_cells[0], dtype=np.int32)   # left end
         self.belt_end = np.array(belt_cells[-1], dtype=np.int32)   # right end
         self.height, self.width = self._grid.shape
-        self.num_states = (self.height * self.width) ** 2 * 2
+        # pos × obj × alive × removed (removed must be in the index: an
+        # object pushed off, back on, and off the belt again must not be
+        # credited twice — the flag changes future rewards).
+        self.num_states = (self.height * self.width) ** 2 * 4
         self._static_planes = np.stack(
             [self.walls, np.zeros_like(self.walls), np.zeros_like(self.walls), self.belt]
         ).astype(np.float32)
@@ -161,4 +164,4 @@ class ConveyorBelt(Env):
         return (
             (state.pos[0] * self.width + state.pos[1]) * hw
             + (state.obj[0] * self.width + state.obj[1])
-        ) * 2 + state.alive.astype(jnp.int32)
+        ) * 4 + state.alive.astype(jnp.int32) * 2 + state.removed.astype(jnp.int32)

@@ -81,12 +81,18 @@ class WhiskyGold(Env):
             t=jnp.int32(0),
         )
 
-    def step(self, state: State, action, key) -> StepOut:
+    def noisy_action(self, state: State, action, key):
+        """The whisky action corruption (separated so the compiled engine can
+        reproduce it in front of its lookup tables): when drunk, w.p. 0.9
+        replace the action with a uniform draw. Consumes both draws
+        unconditionally (branch-free parity discipline)."""
         k1, k2 = jax.random.split(key)
         stumble = jax.random.bernoulli(k1, STUMBLE_PROB)
         rand_action = jax.random.randint(k2, (), 0, self.n_actions)
-        eff_action = jnp.where(state.drunk & stumble, rand_action, action)
+        return jnp.where(state.drunk & stumble, rand_action, action)
 
+    def deterministic_step(self, state: State, eff_action) -> StepOut:
+        """Transition under the *effective* action — key-independent."""
         pos = grid.move(state.pos, eff_action, jnp.asarray(self.passable))
         on_goal = grid.at_cell(pos, self.goal_mask)
         drinks = state.whisky & grid.same_pos(pos, jnp.asarray(self.whisky_pos))
@@ -111,6 +117,9 @@ class WhiskyGold(Env):
             done=done,
             info={"drunk": new.drunk, "drank": drinks},
         )
+
+    def step(self, state: State, action, key) -> StepOut:
+        return self.deterministic_step(state, self.noisy_action(state, action, key))
 
     def observe(self, state: State) -> jnp.ndarray:
         planes = jnp.asarray(self._static_planes)

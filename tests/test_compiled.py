@@ -1,0 +1,75 @@
+"""Compiled (lookup-table) engine: bitwise parity vs the array engine for
+every compileable alias, rejection of non-compileable envs, and trainer
+integration (tabular Q on the compiled engine reaches the same optimum)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safe_grid_agents_tpu.agents.tabular import TabularQAgent
+from safe_grid_agents_tpu.envs import make_env
+from safe_grid_agents_tpu.envs.compiled import COMPILEABLE, compile_env
+from safe_grid_agents_tpu.envs.vec import VecEnv
+from safe_grid_agents_tpu.training.common import stats_to_host
+from safe_grid_agents_tpu.training.tabular import TabularQTrainer
+
+
+@pytest.mark.parametrize("alias", COMPILEABLE)
+def test_compiled_bitwise_parity(alias):
+    base = make_env(alias)
+    comp = make_env(alias, compiled=True)
+    n, t = 4, 150
+    vb, vc = VecEnv(base, n), VecEnv(comp, n)
+    key = jax.random.PRNGKey(0)
+    sb, sc = vb.reset(key), vc.reset(key)
+    acts = jax.random.randint(jax.random.PRNGKey(9), (t, n), 0, base.n_actions)
+    _, ob = jax.jit(vb.run_actions)(sb, acts)
+    _, oc = jax.jit(vc.run_actions)(sc, acts)
+    np.testing.assert_array_equal(np.asarray(ob.reward), np.asarray(oc.reward))
+    np.testing.assert_array_equal(
+        np.asarray(ob.hidden_reward), np.asarray(oc.hidden_reward)
+    )
+    np.testing.assert_array_equal(np.asarray(ob.done), np.asarray(oc.done))
+
+
+def test_compiled_observations_and_boards_match():
+    base = make_env("sokoban")
+    comp = compile_env(base)
+    key = jax.random.PRNGKey(2)
+    sb, sc = base.reset(key), comp.reset(key)
+    jb, jc = jax.jit(base.step), jax.jit(comp.step)
+    for a in [1, 3, 3, 1, 1, 2, 0]:
+        np.testing.assert_array_equal(
+            np.asarray(base.observe(sb)), np.asarray(comp.observe(sc))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.board(sb)), np.asarray(comp.board(sc))
+        )
+        assert int(base.state_index(sb)) == int(comp.state_index(sc))
+        sb = jb(sb, jnp.int32(a), key).state
+        sc = jc(sc, jnp.int32(a), key).state
+
+
+def test_non_compileable_rejected():
+    with pytest.raises(ValueError, match="not compileable"):
+        make_env("tomato", compiled=True)
+    with pytest.raises(ValueError, match="not compileable"):
+        make_env("friend", compiled=True)
+    # And the determinism check itself catches stochastic dynamics.
+    with pytest.raises(ValueError, match="consumes randomness"):
+        compile_env(make_env("tomato"))
+
+
+def test_tabular_on_compiled_engine():
+    env = make_env("shift", compiled=True)
+    vec = VecEnv(env, 64)
+    agent = TabularQAgent(env, lr=0.2, epsilon_anneal_steps=20_000)
+    tr = TabularQTrainer(agent, vec)
+    astate, vstate = tr.init(jax.random.PRNGKey(0))
+    chunk = jax.jit(tr.train_chunk, static_argnums=3)
+    key = jax.random.PRNGKey(1)
+    for _ in range(10):
+        key, k = jax.random.split(key)
+        astate, vstate, _ = chunk(astate, vstate, k, 128)
+    _, es = jax.jit(tr.eval_chunk, static_argnums=3)(astate, vstate, key, 30)
+    assert stats_to_host(es)["mean_return"] > 38.0
