@@ -21,6 +21,12 @@ from .parsing import agent_kwargs, prepare_parser
 def run(argv=None) -> dict:
     args = prepare_parser().parse_args(argv)
 
+    # Join a multi-host cluster when cluster env vars are present (no-op for
+    # single-process runs) — must precede any device query.
+    from ..parallel.multihost import ensure_initialized
+
+    ensure_initialized()
+
     env = make_env(args.env, compiled=args.compiled)
     vec = VecEnv(env, args.n_envs)
     agent = make_agent(args.agent, env, **agent_kwargs(args))
@@ -62,14 +68,33 @@ def run(argv=None) -> dict:
             astate, vstate, kw, args.warmup_steps
         )
 
+    # Profiling window (SURVEY.md §5 tracing): trace a few chunks past the
+    # compile, inside steady state (clamped into the run's actual range).
+    profile_span = None
+    if args.profile_dir:
+        if "axon" in (jax.config.jax_platforms or ""):
+            # The tunneled axon TPU platform hangs inside start_trace;
+            # profiling works on cpu/tpu backends proper.
+            print("--profile-dir: tracing unsupported on the axon tunnel; "
+                  "skipping", flush=True)
+        else:
+            p0 = min(start_chunk + 1, n_chunks - 1)
+            profile_span = (p0, min(p0 + 2, n_chunks - 1))
+
     env_steps = start_chunk * args.chunk_steps * args.n_envs
     final_stats = {}
     for i in range(start_chunk, n_chunks):
+        if profile_span and i == profile_span[0]:
+            jax.profiler.start_trace(args.profile_dir)
         key, k = jax.random.split(key)
         out = chunk(astate, vstate, k, args.chunk_steps)
         astate, vstate = out[0], out[1]
         stats = out[2]
         env_steps += args.chunk_steps * args.n_envs
+        if profile_span and i == profile_span[1]:
+            jax.block_until_ready(stats.episodes)
+            jax.profiler.stop_trace()
+            profile_span = None
 
         if (i + 1) % args.eval_every == 0 or i == n_chunks - 1:
             s = stats_to_host(stats)

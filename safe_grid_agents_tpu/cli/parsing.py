@@ -85,6 +85,10 @@ def prepare_parser() -> argparse.ArgumentParser:
     run.add_argument("--updates-per-chunk", type=int, default=None,
                      help="gradient updates per chunk (deep-q; default = chunk-steps)")
 
+    run.add_argument("--profile-dir", type=str, default=None,
+                     help="write a jax.profiler trace (TensorBoard/Perfetto) "
+                          "covering a mid-training chunk window")
+
     ckpt = p.add_argument_group("checkpoint")
     ckpt.add_argument("--checkpoint-dir", type=str, default=None)
     ckpt.add_argument("--checkpoint-every", type=int, default=50, help="chunks")

@@ -1,0 +1,50 @@
+"""Tools & aux subsystems: profiler flag, sweep driver, multihost no-op."""
+import json
+import os
+import subprocess
+import sys
+
+import jax
+
+from safe_grid_agents_tpu.cli.main import run
+from safe_grid_agents_tpu.parallel.multihost import ensure_initialized, is_primary
+
+
+def test_profile_writes_trace(tmp_path):
+    trace = str(tmp_path / "trace")
+    run(
+        [
+            "shift", "tabular-q",
+            "--n-envs", "32", "--steps", "20000", "--chunk-steps", "128",
+            "--eval-every", "100", "--eval-steps", "10",
+            "--profile-dir", trace,
+        ]
+    )
+    found = []
+    for root, _, files in os.walk(trace):
+        found += [f for f in files if f.endswith(".xplane.pb")]
+    assert found, "no profiler trace written"
+
+
+def test_multihost_noop_single_process():
+    ensure_initialized()  # no cluster env vars → must be a no-op
+    assert is_primary()
+    assert jax.process_count() == 1
+
+
+def test_sweep_cli(tmp_path):
+    out = subprocess.run(
+        [
+            sys.executable, "tools/sweep.py",
+            "shift", "tabular-q",
+            "--n-envs", "32", "--steps", "8192", "--chunk-steps", "128",
+            "--eval-every", "100", "--eval-steps", "10",
+            "--sweep", "seed=0,1",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": ""},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 2
+    assert {json.loads(l)["seed"] for l in lines} == {"0", "1"}

@@ -1,0 +1,57 @@
+"""Seed / hyperparameter sweep driver (replaces the reference's Ray Tune
+hook, SURVEY.md §2a #13 / §5: a simple sweep suffices for parity).
+
+Grid-sweeps any CLI flags over values and reports final eval stats per run:
+
+    python tools/sweep.py shift tabular-q --steps 60000 \
+        --sweep seed=0,1,2 --sweep lr=0.1,0.2
+
+Each run reuses the in-process CLI (`cli.main.run`), so compiled programs
+are cached across runs that share shapes.
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from safe_grid_agents_tpu.cli.main import run  # noqa: E402
+
+
+def main():
+    argv = sys.argv[1:]
+    sweeps = []
+    passthrough = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--sweep":
+            name, _, vals = argv[i + 1].partition("=")
+            sweeps.append((name, vals.split(",")))
+            i += 2
+        else:
+            passthrough.append(argv[i])
+            i += 1
+    if not sweeps:
+        print("usage: sweep.py <cli args> --sweep flag=v1,v2 [--sweep ...]")
+        sys.exit(2)
+
+    names = [n for n, _ in sweeps]
+    results = []
+    for combo in itertools.product(*[v for _, v in sweeps]):
+        extra = []
+        for n, v in zip(names, combo):
+            extra += [f"--{n}", v]
+        stats = run(passthrough + extra)
+        rec = {**dict(zip(names, combo)), **{k: round(v, 3) for k, v in stats.items()}}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    best = max(results, key=lambda r: r.get("mean_return", float("-inf")))
+    print("best by mean_return:", json.dumps(best))
+
+
+if __name__ == "__main__":
+    main()
