@@ -55,6 +55,11 @@ class PPOAgent(Agent):
             self.net = ActorCriticMLP(n_actions=env.n_actions, hidden=hidden)
         elif net == "cnn":
             self.net = ActorCriticCNN(n_actions=env.n_actions)
+        elif net == "pallas":
+            # Fused pallas forward (ops/fused_mlp.py); fixed 128-wide layers.
+            from ..ops.fused_mlp import PallasActorCriticMLP
+
+            self.net = PallasActorCriticMLP(n_actions=env.n_actions)
         else:
             raise ValueError(f"unknown net {net!r}")
         self.name = f"ppo-{net}"
