@@ -1,0 +1,91 @@
+"""Training-throughput benchmark: fused train-chunk env-steps/s on one chip.
+
+Measures the FULL actor-learner loop (act → env step → learn, including
+replay writes/samples or GAE+minibatch epochs) for each agent family at
+north-star scale (4096 envs). Not the driver headline (that's bench.py);
+results are recorded in PERF.md.
+
+Usage: python bench_train.py [--n-envs 4096] [--chunk 256]
+"""
+import argparse
+import time
+
+import jax
+
+
+def measure(trainer, chunk_steps: int, min_seconds: float = 0.5, warmup=None):
+    astate, vstate = trainer.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    if warmup is not None:
+        astate, vstate, _ = jax.jit(trainer.warmup_chunk, static_argnums=3)(
+            astate, vstate, key, warmup
+        )
+    chunk = jax.jit(trainer.train_chunk, static_argnums=3)
+    out = chunk(astate, vstate, key, chunk_steps)
+    jax.block_until_ready(out[2].episodes)
+    astate, vstate = out[0], out[1]
+
+    n_envs = trainer.vec.n_envs
+    total = 0
+    t0 = time.perf_counter()
+    while True:
+        key, k = jax.random.split(key)
+        out = chunk(astate, vstate, k, chunk_steps)
+        astate, vstate = out[0], out[1]
+        total += chunk_steps * n_envs
+        jax.block_until_ready(out[2].episodes)
+        dt = time.perf_counter() - t0
+        if dt >= min_seconds:
+            return total / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-envs", type=int, default=4096)
+    ap.add_argument("--chunk", type=int, default=256)
+    args = ap.parse_args()
+
+    from safe_grid_agents_tpu.agents.dqn import DQNAgent
+    from safe_grid_agents_tpu.agents.ppo import PPOAgent
+    from safe_grid_agents_tpu.agents.tabular import TabularQAgent
+    from safe_grid_agents_tpu.envs import make_env
+    from safe_grid_agents_tpu.envs.vec import VecEnv
+    from safe_grid_agents_tpu.training.dqn import DQNTrainer
+    from safe_grid_agents_tpu.training.ppo import PPOTrainer
+    from safe_grid_agents_tpu.training.tabular import TabularQTrainer
+
+    n, c = args.n_envs, args.chunk
+
+    def report(name, rate):
+        print(f"{name:28s} {rate/1e6:10.1f} M env-steps/s")
+
+    for compiled in (False, True):
+        tag = "compiled" if compiled else "base"
+        env = make_env("shift", compiled=compiled)
+        rate = measure(
+            TabularQTrainer(TabularQAgent(env), VecEnv(env, n)), c
+        )
+        report(f"tabular-q/shift [{tag}]", rate)
+
+    env = make_env("sokoban", compiled=True)
+    rate = measure(
+        DQNTrainer(
+            DQNAgent(env, replay_capacity=1 << 20, batch_size=1024),
+            VecEnv(env, n),
+            updates_per_chunk=max(1, c // 8),
+        ),
+        c,
+        warmup=16,
+    )
+    report("deep-q/sokoban [compiled]", rate)
+
+    for net in ("mlp", "pallas"):
+        env = make_env("island", compiled=True)
+        rate = measure(
+            PPOTrainer(PPOAgent(env, net=net), VecEnv(env, n)), min(c, 64)
+        )
+        report(f"ppo-{net}/island [compiled]", rate)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,3 +38,20 @@ class Agent:
     def act_explore(self, astate: Any, env_states: Any, key) -> jnp.ndarray:
         """Exploratory actions [N] (BaseExplorer.act_explore)."""
         return self.act(astate, env_states, key)
+
+    def for_env(self, env: Env) -> "Agent":
+        """A shallow copy of this agent bound to a different (shape-
+        compatible) env — used by the distributional-shift eval protocol
+        (train on one layout, evaluate on the shifted one): observation
+        rendering and state indexing must come from the EVAL env."""
+        import copy
+
+        import jax
+
+        c = copy.copy(self)
+        c.env = env
+        if hasattr(c, "_v_observe"):
+            c._v_observe = jax.vmap(env.observe)
+        if hasattr(c, "_v_index"):
+            c._v_index = jax.vmap(env.state_index)
+        return c

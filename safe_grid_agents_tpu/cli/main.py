@@ -48,7 +48,22 @@ def run(argv=None) -> dict:
     astate, vstate = trainer.init(k_init)
 
     chunk = jax.jit(trainer.train_chunk, static_argnums=3)
-    echunk = jax.jit(trainer.eval_chunk, static_argnums=3)
+    if args.eval_env:
+        # Distributional-shift protocol: greedy eval on a different layout.
+        from ..training.common import eval_chunk as _generic_eval
+
+        eval_env = make_env(args.eval_env, compiled=args.compiled)
+        eval_vec = VecEnv(eval_env, args.n_envs)
+        eval_agent = agent.for_env(eval_env)
+
+        def _eval(astate, vstate, key, n_steps):
+            del vstate  # fresh eval episodes on the eval layout
+            evs = eval_vec.reset(key)
+            return _generic_eval(eval_vec, eval_agent.act, astate, evs, key, n_steps)
+
+        echunk = jax.jit(_eval, static_argnums=3)
+    else:
+        echunk = jax.jit(trainer.eval_chunk, static_argnums=3)
 
     start_chunk = 0
     n_chunks = max(1, args.steps // (args.chunk_steps * args.n_envs))

@@ -85,6 +85,10 @@ def prepare_parser() -> argparse.ArgumentParser:
     run.add_argument("--updates-per-chunk", type=int, default=None,
                      help="gradient updates per chunk (deep-q; default = chunk-steps)")
 
+    run.add_argument("--eval-env", type=str, default=None, choices=sorted(ENV_REGISTRY),
+                     help="evaluate on a different env alias (the "
+                          "distributional-shift protocol: train on 'shift', "
+                          "eval on 'shift-test')")
     run.add_argument("--profile-dir", type=str, default=None,
                      help="write a jax.profiler trace (TensorBoard/Perfetto) "
                           "covering a mid-training chunk window")

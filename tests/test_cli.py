@@ -90,3 +90,19 @@ def test_cli_resume(tmp_path):
     argv2[argv2.index("16384")] = "32768"
     run(argv2 + ["--resume"])
     assert ckpt.latest_step(ckdir) == 32768 // (128 * 32)
+
+
+def test_cli_eval_env_distributional_shift():
+    # The env's defining protocol: a policy optimal on the train layout
+    # (return 40) walks into the moved lava on the test layout.
+    stats = run(
+        [
+            "shift", "tabular-q",
+            "--n-envs", "64", "--steps", "60000", "--chunk-steps", "128",
+            "--eval-every", "100", "--eval-steps", "30",
+            "--lr", "0.2", "--epsilon-anneal-steps", "20000",
+            "--eval-env", "shift-test",
+        ]
+    )
+    assert stats["mean_return"] < -40.0, stats
+    assert stats["mean_length"] < 8.0
