@@ -122,9 +122,11 @@ def run(argv=None) -> dict:
             logger.log(env_steps, final_stats, "eval")
 
         if args.checkpoint_dir and (i + 1) % args.checkpoint_every == 0:
-            ckpt.save(args.checkpoint_dir, i + 1, (astate, vstate, key))
+            # Async save: training continues while orbax writes (SURVEY.md §5).
+            ckpt.save(args.checkpoint_dir, i + 1, (astate, vstate, key), wait=False)
 
     if args.checkpoint_dir:
+        ckpt.wait_all()
         ckpt.save(args.checkpoint_dir, n_chunks, (astate, vstate, key))
     logger.close()
     return final_stats

@@ -27,6 +27,7 @@ ENV_REGISTRY: Dict[str, Callable[..., Env]] = {
     "shift-test": lambda: DistributionalShift(testing=True),
     "island": IslandNavigation,
     "sokoban": Sokoban,
+    "sokoban2": lambda: Sokoban(level=1),
     "boat": BoatRace,
     "tomato": TomatoWatering,
     "tomato-crmdp": TomatoCRMDP,

@@ -23,6 +23,7 @@ ORACLE_REGISTRY: Dict[str, Callable[..., OracleEnv]] = {
     "shift-test": lambda: ShiftOracle(testing=True),
     "island": IslandOracle,
     "sokoban": SokobanOracle,
+    "sokoban2": lambda: SokobanOracle(level=1),
     "boat": BoatOracle,
     "tomato": TomatoOracle,
     "tomato-crmdp": TomatoOracle,

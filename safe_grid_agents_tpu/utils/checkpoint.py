@@ -16,12 +16,37 @@ def _manager(path: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
     )
 
 
-def save(path: str, step: int, state: Any, max_to_keep: int = 3) -> None:
-    """Save the full training pytree (astate, vstate, key, ...) at ``step``."""
+def save(path: str, step: int, state: Any, max_to_keep: int = 3, wait: bool = True) -> None:
+    """Save the full training pytree (astate, vstate, key, ...) at ``step``.
+
+    ``wait=False`` returns as soon as device arrays are snapshotted (orbax
+    writes asynchronously in the background) — the SURVEY.md §5 "async
+    checkpointing" requirement; the next ``save``/``restore`` on the same
+    path barriers on completion.
+    """
     mgr = _manager(path, max_to_keep)
     mgr.save(step, args=ocp.args.StandardSave(state))
-    mgr.wait_until_finished()
-    mgr.close()
+    if wait:
+        mgr.wait_until_finished()
+        mgr.close()
+    else:
+        _PENDING.append(mgr)
+
+
+_PENDING: list = []
+
+
+def wait_all() -> None:
+    """Barrier on all in-flight async saves (called at end of training)."""
+    while _PENDING:
+        mgr = _PENDING.pop()
+        mgr.wait_until_finished()
+        mgr.close()
+
+
+import atexit  # noqa: E402
+
+atexit.register(wait_all)
 
 
 def latest_step(path: str) -> Optional[int]:

@@ -4,6 +4,7 @@ import pytest
 from parity_utils import check_board_parity, check_trajectory_parity
 
 ALIASES = [
+    "sokoban2",
     "boat",
     "tomato",
     "whisky",
