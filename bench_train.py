@@ -79,7 +79,7 @@ def main():
     )
     report("deep-q/sokoban [compiled]", rate)
 
-    for net in ("mlp", "pallas"):
+    for net in ("mlp", "pallas", "table"):
         env = make_env("island", compiled=True)
         rate = measure(
             PPOTrainer(PPOAgent(env, net=net), VecEnv(env, n)), min(c, 64)

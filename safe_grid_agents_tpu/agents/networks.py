@@ -44,6 +44,41 @@ class ActorCriticMLP(nn.Module):
         return logits, value
 
 
+def make_table_actor_critic(obs_flat, n_actions: int, hidden=(128, 128)):
+    """Table-folded actor-critic for compiled envs.
+
+    For a compiled env, the observation of state ``i`` is a static row
+    ``O[i]`` of the obs table, so the first dense layer satisfies
+    ``O[idx] @ W1 = (O @ W1)[idx]`` — fold the table into the weights and
+    the whole observation render + first matmul become ONE [S, H] row
+    gather. Inside a collect scan, XLA hoists ``O @ W1`` (loop-invariant),
+    so its cost amortizes to zero; in update phases it is an [S, D, H]
+    matmul at S of a few hundred — far cheaper than per-sample [B, D, H].
+
+    Consumes state *indices* (i32 [B]) instead of observation planes.
+    """
+    import numpy as np
+
+    obs_const = np.asarray(obs_flat, np.float32)  # [S, D] static
+    d = obs_const.shape[1]
+
+    class TableActorCriticMLP(nn.Module):
+        @nn.compact
+        def __call__(self, idx):
+            init = nn.initializers.lecun_normal()
+            w1 = self.param("w1", init, (d, hidden[0]))
+            b1 = self.param("b1", nn.initializers.zeros, (hidden[0],))
+            folded = jnp.asarray(obs_const) @ w1          # [S, H] — hoistable
+            x = jnp.tanh(folded[idx] + b1)
+            for h in hidden[1:]:
+                x = nn.tanh(nn.Dense(h)(x))
+            logits = nn.Dense(n_actions)(x)
+            value = nn.Dense(1)(x).squeeze(-1)
+            return logits, value
+
+    return TableActorCriticMLP()
+
+
 class ActorCriticCNN(nn.Module):
     """Conv trunk over one-hot planes (reference ppo/cnn). Input [..., P, H, W]."""
 

@@ -51,6 +51,7 @@ class PPOAgent(Agent):
         hidden: tuple = (128, 128),
     ):
         super().__init__(env)
+        self.hidden = tuple(hidden)
         if net == "mlp":
             self.net = ActorCriticMLP(n_actions=env.n_actions, hidden=hidden)
         elif net == "cnn":
@@ -60,6 +61,17 @@ class PPOAgent(Agent):
             from ..ops.fused_mlp import PallasActorCriticMLP
 
             self.net = PallasActorCriticMLP(n_actions=env.n_actions)
+        elif net == "table":
+            # Table-folded fast path: compiled envs only (see networks.py).
+            from ..envs.compiled import CompiledEnv
+            from .networks import make_table_actor_critic
+
+            assert isinstance(env, CompiledEnv), "net='table' needs a compiled env"
+            s = env.obs_table.shape[0]
+            self.net = make_table_actor_critic(
+                env.obs_table.reshape(s, -1), env.n_actions, hidden
+            )
+            self._table_net = True
         else:
             raise ValueError(f"unknown net {net!r}")
         self.name = f"ppo-{net}"
@@ -76,15 +88,32 @@ class PPOAgent(Agent):
         self._v_observe = jax.vmap(env.observe)
 
     def init(self, key) -> PPOState:
-        obs = self.env.observe(self.env.reset(key))
-        params = self.net.init(key, obs[None])
+        if getattr(self, "_table_net", False):
+            params = self.net.init(key, jnp.zeros((1,), jnp.int32))
+        else:
+            obs = self.env.observe(self.env.reset(key))
+            params = self.net.init(key, obs[None])
         return PPOState(
             params=params, opt_state=self.tx.init(params), step=jnp.int32(0)
         )
 
     def policy_value(self, params, env_states):
         """Batched (logits, value) from stacked compact env states."""
+        if getattr(self, "_table_net", False):
+            return self.net.apply(params, env_states.idx)
         return self.net.apply(params, self._v_observe(env_states))
+
+    def for_env(self, env):
+        c = super().for_env(env)
+        if getattr(self, "_table_net", False):
+            # Rebind the fold table to the new env (same grid/param shapes).
+            from .networks import make_table_actor_critic
+
+            s = env.obs_table.shape[0]
+            c.net = make_table_actor_critic(
+                env.obs_table.reshape(s, -1), env.n_actions, self.hidden
+            )
+        return c
 
     def act(self, astate: PPOState, env_states, key):
         del key

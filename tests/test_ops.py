@@ -67,3 +67,32 @@ def test_ppo_pallas_net_trains():
         astate, vstate, jax.random.PRNGKey(1), 8
     )
     assert np.isfinite(float(loss))
+
+
+def test_ppo_table_net_matches_behavior():
+    """Table-folded net (compiled envs): learns the same corners hack as the
+    plain MLP and its fold rebinds across envs via for_env."""
+    env = make_env("corners", compiled=True)
+    vec = VecEnv(env, 64)
+    agent = PPOAgent(env, net="table", lr=1e-3, entropy_bonus=0.05)
+    tr = PPOTrainer(agent, vec)
+    astate, vstate = tr.init(jax.random.PRNGKey(0))
+    chunk = jax.jit(tr.train_chunk, static_argnums=3)
+    key = jax.random.PRNGKey(1)
+    for _ in range(50):
+        key, k = jax.random.split(key)
+        astate, vstate, stats, loss = chunk(astate, vstate, k, 16)
+    assert np.isfinite(float(loss))
+    from safe_grid_agents_tpu.training.common import eval_chunk, stats_to_host
+
+    _, es = jax.jit(
+        lambda a, v, k: eval_chunk(vec, agent.act, a, v, k, 25)
+    )(astate, jax.jit(vec.reset)(jax.random.PRNGKey(7)), key)
+    s = stats_to_host(es)
+    assert s["mean_return"] > 30.0 and s["mean_hidden"] < -10.0
+
+    # for_env rebind: same params drive the net on another compiled layout.
+    env2 = make_env("way", compiled=True)
+    a2 = agent.for_env(env2)
+    acts = a2.act(astate, jax.tree.map(lambda x: x[:4], jax.jit(VecEnv(env2, 4).reset)(key).env), key)
+    assert acts.shape == (4,)
