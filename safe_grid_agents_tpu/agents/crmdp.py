@@ -75,9 +75,18 @@ class PPOCRMDPAgent(PPOAgent):
         resid = (observed - hidden).sum(axis=0)            # [N] aggregate only
         pred = corruption[next_idx].sum(axis=0)            # [N]
         err = pred - resid                                 # [N]
-        # Σ_s n_is² computed pairwise: m[t, i] = #{t' : s_it' == s_it}.
-        same = next_idx[:, None, :] == next_idx[None, :, :]  # [T, T, N]
-        denom = same.sum(axis=(0, 1)).astype(jnp.float32)    # [N] = Σ_s n_is²
+        # Σ_s n_is² in O(T·N log T): sort each env's visited indices; each
+        # element's equal-run length is its state's visit count, and summing
+        # run lengths over elements gives Σ_s n_s² (avoids the O(T²·N)
+        # pairwise-equality tensor, which OOMs at large chunks).
+        sorted_idx = jnp.sort(next_idx, axis=0)            # [T, N]
+
+        def _env_norm(col):
+            left = jnp.searchsorted(col, col, side="left")
+            right = jnp.searchsorted(col, col, side="right")
+            return (right - left).sum()
+
+        denom = jax.vmap(_env_norm, in_axes=1)(sorted_idx).astype(jnp.float32)
         err_norm = err / jnp.maximum(denom, 1.0)             # [N]
         n = next_idx.shape[1]
         delta = jnp.zeros_like(corruption).at[next_idx].add(

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from ..types import Experience as Transition  # replay record (types.py)
 from ..utils import replay
 from .base import Agent
 from .networks import QMLP
@@ -32,17 +33,6 @@ class DQNState:
     buffer: replay.BufferState
     step: jnp.ndarray     # i32 — env steps seen (drives ε anneal)
     updates: jnp.ndarray  # i32 — gradient updates done (drives target sync)
-
-
-@struct.dataclass
-class Transition:
-    """Replay record: compact env states, not rendered boards."""
-
-    state: Any
-    action: jnp.ndarray
-    reward: jnp.ndarray
-    next_state: Any
-    done: jnp.ndarray
 
 
 class DQNAgent(Agent):

@@ -15,11 +15,15 @@ from ..parallel import DPTrainer, make_mesh
 from ..training import make_trainer, stats_to_host
 from ..utils import checkpoint as ckpt
 from ..utils.meters import MetricsLogger
-from .parsing import agent_kwargs, prepare_parser
+from .parsing import agent_kwargs, apply_preset, prepare_parser
 
 
 def run(argv=None) -> dict:
     args = prepare_parser().parse_args(argv)
+    if args.preset:
+        import sys
+
+        args = apply_preset(args, argv if argv is not None else sys.argv[1:])
 
     # Join a multi-host cluster when cluster env vars are present (no-op for
     # single-process runs) — must precede any device query.
@@ -58,26 +62,45 @@ def run(argv=None) -> dict:
 
         def _eval(astate, vstate, key, n_steps):
             del vstate  # fresh eval episodes on the eval layout
-            evs = eval_vec.reset(key)
-            return _generic_eval(eval_vec, eval_agent.act, astate, evs, key, n_steps)
+            k_reset, k_steps = jax.random.split(key)
+            evs = eval_vec.reset(k_reset)
+            return _generic_eval(
+                eval_vec, eval_agent.act, astate, evs, k_steps, n_steps
+            )
 
         echunk = jax.jit(_eval, static_argnums=3)
     else:
-        echunk = jax.jit(trainer.eval_chunk, static_argnums=3)
+        # Evaluate from FRESH episodes: reusing the live training VecState
+        # would mix exploration-policy partial episodes into eval stats.
+        def _eval(astate, vstate, key, n_steps):
+            del vstate
+            k_reset, k_steps = jax.random.split(key)
+            return trainer.eval_chunk(
+                astate, trainer_reset(k_reset), k_steps, n_steps
+            )
+
+        if args.n_devices > 1:
+            trainer_reset = trainer.reset_envs
+        else:
+            trainer_reset = trainer.vec.reset
+        echunk = jax.jit(_eval, static_argnums=3)
 
     start_chunk = 0
     n_chunks = max(1, args.steps // (args.chunk_steps * args.n_envs))
 
     if args.checkpoint_dir and args.resume:
-        step = ckpt.latest_step(args.checkpoint_dir)
+        step, state = ckpt.restore_latest_valid(
+            args.checkpoint_dir, (astate, vstate, key)
+        )
         if step is not None:
-            state = ckpt.restore(args.checkpoint_dir, (astate, vstate, key))
             astate, vstate, key = state
             start_chunk = step
             print(f"resumed from chunk {step}", flush=True)
 
     # Warmup (reference WARMUP_MAP: dqn fills its replay buffer, others noop).
-    if hasattr(trainer, "warmup_chunk") and start_chunk == 0 and args.warmup_steps > 0:
+    base_trainer = getattr(trainer, "trainer", trainer)  # unwrap DPTrainer
+    has_warmup = hasattr(base_trainer, "warmup_chunk")
+    if has_warmup and start_chunk == 0 and args.warmup_steps > 0:
         key, kw = jax.random.split(key)
         astate, vstate, _ = jax.jit(trainer.warmup_chunk, static_argnums=3)(
             astate, vstate, kw, args.warmup_steps

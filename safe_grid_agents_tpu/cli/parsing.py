@@ -66,6 +66,9 @@ def prepare_parser() -> argparse.ArgumentParser:
     p.add_argument("agent", choices=sorted(AGENT_REGISTRY), help="agent alias")
 
     run = p.add_argument_group("run")
+    run.add_argument("--preset", action="store_true",
+                     help="apply the known-good preset for this (env, agent) "
+                          "from cli/presets.yaml; explicit flags override")
     run.add_argument("--seed", type=int, default=0)
     run.add_argument("--log-dir", type=str, default=None)
     run.add_argument("--n-envs", type=int, default=128, help="vectorized env instances")
@@ -106,6 +109,30 @@ def prepare_parser() -> argparse.ArgumentParser:
                 agent.add_argument(flag, type=typ, default=None, help=help_)
                 seen.add(flag)
     return p
+
+
+def apply_preset(args: argparse.Namespace, argv) -> argparse.Namespace:
+    """Overlay preset values for (env, agent) under flags the user did NOT
+    pass explicitly (reference mechanism: YAML-declared defaults)."""
+    import os
+
+    import yaml
+
+    path = os.path.join(os.path.dirname(__file__), "presets.yaml")
+    with open(path) as f:
+        presets = yaml.safe_load(f)
+    table = (presets.get(args.env) or {}).get(args.agent)
+    if not table:
+        raise SystemExit(
+            f"no preset for env {args.env!r} + agent {args.agent!r}; "
+            f"available: { {e: sorted(a) for e, a in presets.items()} }"
+        )
+    explicit = {tok for tok in (argv or []) if tok.startswith("--")}
+    for flag, value in table.items():
+        if f"--{flag}" in explicit:
+            continue
+        setattr(args, flag.replace("-", "_"), value)
+    return args
 
 
 def agent_kwargs(args: argparse.Namespace) -> Dict[str, Any]:

@@ -156,6 +156,9 @@ class CompiledEnv(Env):
                 # Expand ALL successors — including post-terminal states, so
                 # stepping past `done` (which auto-reset never does, but the
                 # raw API allows) matches the base env bitwise too.
+                # Store successors with t reset to 0 (state_index ignores t;
+                # keeping accumulated t would eventually poison the timeout-
+                # stripping predicate above for deep states).
                 host_state = jax.tree.map(np.asarray, out.state)
                 for j, i_new in enumerate(idxs):
                     i_new = int(i_new)
@@ -164,7 +167,7 @@ class CompiledEnv(Env):
                         new_frontier.append(i_new)
                         store[i_new] = jax.tree.map(
                             lambda x: jnp.asarray(x[j]), host_state
-                        )
+                        ).replace(t=jnp.int32(0))
             frontier = new_frontier
 
         self.next_table = nxt

@@ -33,6 +33,7 @@ class GymEnv:
         self._state = None
         self._key = None
         self._episode_hidden = 0.0
+        self._last_performance = 0.0  # last COMPLETED episode's hidden sum
 
     def reset(self, seed: Optional[int] = None) -> np.ndarray:
         if seed is not None or self._key is None:
@@ -48,6 +49,8 @@ class GymEnv:
         out = self._jstep(self._state, np.int32(action), k)
         self._state = out.state
         self._episode_hidden += float(out.hidden_reward)
+        if bool(out.done):
+            self._last_performance = self._episode_hidden
         info = {k_: np.asarray(v) for k_, v in out.info.items()}
         info["hidden_reward"] = float(out.hidden_reward)
         info["hidden_return"] = self._episode_hidden
@@ -58,9 +61,11 @@ class GymEnv:
             info,
         )
 
-    # Reference: env.get_last_performance() surfaced the hidden signal [M].
+    # Reference: env.get_last_performance() surfaces the LAST COMPLETED
+    # episode's hidden performance [M] — it survives reset(), so the normal
+    # "step to done → reset → read performance" loop works.
     def get_last_performance(self) -> float:
-        return self._episode_hidden
+        return self._last_performance
 
     def render(self, mode: str = "ansi"):
         board = np.asarray(self.env.board(self._state))

@@ -79,6 +79,14 @@ class DPTrainer:
         return astate, vstate
 
     # -- chunks ------------------------------------------------------------
+    def reset_envs(self, key):
+        """Fresh (global) VecState; jit/shard_map lays it out over the mesh."""
+        return self.trainer.vec.reset(key)
+
+    @property
+    def has_warmup(self) -> bool:
+        return hasattr(self.trainer, "warmup_chunk")
+
     def _shard_map(self, local, astate, vstate, extra_out_specs=()):
         return shard_map(
             local,
@@ -103,6 +111,9 @@ class DPTrainer:
         return f(astate, vstate, keys)
 
     def warmup_chunk(self, astate, vstate, key, n_steps: int):
+        assert self.has_warmup, (
+            f"{type(self.trainer).__name__} has no warmup phase"
+        )
         keys = jax.random.split(key, self.n_dev)
 
         def local(astate, vstate_shard, key_shard):

@@ -30,23 +30,14 @@ class StepOut:
 
 @struct.dataclass
 class Experience:
-    """One transition, as stored in replay buffers (reference: Experience)."""
+    """One transition, as stored in replay buffers (reference: Experience;
+    used by the DQN replay path — compact env states, not boards). The
+    reference's Rollout record maps to the PPO trainers' time-major [T, N]
+    trajectory dict (training/ppo.py::collect), which stays a plain dict so
+    CRMDP can extend its schema without a parallel type."""
 
     state: Any                 # compact env state (pre-step)
     action: jnp.ndarray        # i32
     reward: jnp.ndarray        # f32
     next_state: Any            # compact env state (post-step)
     done: jnp.ndarray          # bool
-
-
-@struct.dataclass
-class Rollout:
-    """A time-major [T, N, ...] trajectory chunk (reference: Rollout)."""
-
-    states: Any                # env states at each step (pre-step), [T, N, ...]
-    actions: jnp.ndarray       # [T, N] i32
-    rewards: jnp.ndarray       # [T, N] f32 (observed, or hidden when --cheat)
-    hidden_rewards: jnp.ndarray  # [T, N] f32
-    dones: jnp.ndarray         # [T, N] bool
-    log_probs: jnp.ndarray     # [T, N] f32 — behavior-policy log-probs
-    values: jnp.ndarray        # [T, N] f32 — critic values at states

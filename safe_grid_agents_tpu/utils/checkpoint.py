@@ -66,3 +66,33 @@ def restore(path: str, example_state: Any, step: Optional[int] = None) -> Any:
     out = mgr.restore(step, args=ocp.args.StandardRestore(example_state))
     mgr.close()
     return out
+
+
+def restore_latest_valid(path: str, example_state: Any):
+    """Failure-tolerant restore (SURVEY.md §5 failure detection/recovery):
+    try checkpoints newest-first, skipping any that fail to load (truncated
+    by a crash mid-write, corrupted storage). Returns (step, state) or
+    (None, None) when nothing usable exists.
+
+    Uses the low-level StandardCheckpointer per step directory rather than
+    the CheckpointManager: a single torn step poisons the manager's layout
+    inference for ALL steps (observed with orbax 0.x), while per-directory
+    restores stay independent.
+    """
+    if not os.path.isdir(path):
+        return None, None
+    steps = sorted(
+        (int(d) for d in os.listdir(path) if d.isdigit()), reverse=True
+    )
+    ckptr = ocp.StandardCheckpointer()
+    for step in steps:
+        try:
+            out = ckptr.restore(
+                os.path.join(os.path.abspath(path), str(step), "default"),
+                example_state,
+            )
+            return step, out
+        except Exception as e:  # corrupted/partial save → fall back one
+            print(f"checkpoint step {step} unreadable ({type(e).__name__}); "
+                  f"falling back", flush=True)
+    return None, None

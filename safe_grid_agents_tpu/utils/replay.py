@@ -39,6 +39,12 @@ def push_batch(buf: BufferState, batch: Any) -> BufferState:
     """Write a batch (leading dim N) at rolling positions. N ≤ capacity."""
     n = jax.tree.leaves(batch)[0].shape[0]
     cap = capacity_of(buf)
+    # Shapes are static: enforce at trace time. A batch wider than the ring
+    # would scatter duplicate positions and silently drop transitions.
+    assert n <= cap, (
+        f"replay push of {n} transitions exceeds (local) capacity {cap}; "
+        f"raise --replay-capacity or lower --n-envs"
+    )
     pos = (buf.idx + jnp.arange(n, dtype=jnp.int32)) % cap
     storage = jax.tree.map(lambda s, b: s.at[pos].set(b), buf.storage, batch)
     return BufferState(

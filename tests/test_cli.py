@@ -106,3 +106,34 @@ def test_cli_eval_env_distributional_shift():
     )
     assert stats["mean_return"] < -40.0, stats
     assert stats["mean_length"] < 8.0
+
+
+def test_preset_flag(tmp_path):
+    stats = run(["shift", "tabular-q", "--preset", "--steps", "40000"])
+    assert stats["mean_return"] > 38.0  # preset hyperparams solve shift
+
+
+def test_restore_latest_valid_skips_corrupt(tmp_path):
+    import shutil
+
+    import jax.numpy as jnp
+
+    path = str(tmp_path / "ck")
+    state = {"a": jnp.arange(4, dtype=jnp.float32)}
+    ckpt.save(path, 1, state)
+    ckpt.save(path, 2, jax.tree.map(lambda x: x + 1, state))
+    # Corrupt the newest checkpoint the way a mid-write crash would: remove
+    # its payload directory contents.
+    import os
+
+    step2 = os.path.join(path, "2")
+    for root, dirs, files in os.walk(step2):
+        for f in files:
+            os.remove(os.path.join(root, f))
+        break_inner = [shutil.rmtree(os.path.join(root, d)) for d in dirs]
+        break
+    step, restored = ckpt.restore_latest_valid(
+        path, jax.tree.map(jnp.zeros_like, state)
+    )
+    assert step == 1
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(4))

@@ -107,3 +107,36 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out[0].shape == (128,)
     g.dryrun_multichip(8)
+
+
+def test_cli_multi_device_non_dqn(mesh):
+    """Regression: --n-devices with a warmup-less agent must not crash on
+    the warmup gate (DPTrainer always had warmup_chunk; the base trainer
+    does not)."""
+    from safe_grid_agents_tpu.cli.main import run
+
+    stats = run(
+        [
+            "shift", "ppo-mlp",
+            "--n-devices", "8", "--n-envs", "64",
+            "--steps", "4096", "--chunk-steps", "8",
+            "--eval-every", "100", "--eval-steps", "10",
+        ]
+    )
+    assert "mean_return" in stats
+
+
+def test_cli_multi_device_dqn(mesh):
+    from safe_grid_agents_tpu.cli.main import run
+
+    stats = run(
+        [
+            "sokoban", "deep-q",
+            "--n-devices", "8", "--n-envs", "64",
+            "--steps", "4096", "--chunk-steps", "8",
+            "--eval-every", "100", "--eval-steps", "10",
+            "--replay-capacity", "4096", "--batch-size", "64",
+            "--warmup-steps", "16",
+        ]
+    )
+    assert "mean_return" in stats

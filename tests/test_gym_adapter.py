@@ -81,3 +81,14 @@ def test_bitwise_resume(tmp_path):
     np.testing.assert_array_equal(np.asarray(a_ref.q), np.asarray(a_res.q))
     for l_ref, l_res in zip(jax.tree.leaves(v_ref), jax.tree.leaves(v_res)):
         np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_res))
+
+
+def test_get_last_performance_survives_reset():
+    """Regression: the reference's episode loop reads performance AFTER
+    reset; it must return the last completed episode's hidden sum."""
+    env = GymEnv("island")
+    env.reset(seed=0)
+    _, _, done, _ = env.step(0)  # UP into water: hidden −51, terminal
+    assert done
+    env.reset()
+    assert env.get_last_performance() == -51.0

@@ -41,8 +41,8 @@ def test_sweep_cli(tmp_path):
             "--eval-every", "100", "--eval-steps", "10",
             "--sweep", "seed=0,1",
         ],
-        capture_output=True, text=True, cwd="/root/repo", timeout=600,
-        env={**os.environ, "JAX_PLATFORMS": ""},
+        capture_output=True, text=True, cwd="/root/repo", timeout=900,
+        env={**os.environ, "SGA_PLATFORM": "cpu"},
     )
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]

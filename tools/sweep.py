@@ -14,9 +14,17 @@ from __future__ import annotations
 import argparse
 import itertools
 import json
+import os
 import sys
 
 sys.path.insert(0, ".")
+
+# Env vars like JAX_PLATFORMS are consumed before user code in this
+# environment (see CLAUDE.md); SGA_PLATFORM provides an escape hatch.
+if os.environ.get("SGA_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["SGA_PLATFORM"])
 
 from safe_grid_agents_tpu.cli.main import run  # noqa: E402
 
