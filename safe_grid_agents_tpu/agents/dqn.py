@@ -45,7 +45,7 @@ class DQNAgent(Agent):
         discount: float = 0.99,
         epsilon: float = 1.0,
         epsilon_final: float = 0.05,
-        epsilon_anneal_steps: int = 100_000,
+        epsilon_anneal_steps: int = 300_000,
         batch_size: int = 256,
         replay_capacity: int = 100_000,
         sync_every: int = 200,

@@ -38,7 +38,7 @@ class TabularQAgent(Agent):
         discount: float = 0.99,
         epsilon: float = 1.0,
         epsilon_final: float = 0.01,
-        epsilon_anneal_steps: int = 50_000,
+        epsilon_anneal_steps: int = 200_000,
     ):
         super().__init__(env)
         assert env.num_states is not None, f"{env.name}: no tabular state index"
@@ -84,18 +84,31 @@ class TabularQAgent(Agent):
         dones: jnp.ndarray,    # [N] bool
         axis_name: str | None = None,
     ) -> TabularQState:
-        """Batched TD update. Under ``shard_map`` over a data axis, pass
-        ``axis_name`` so per-shard Q deltas are summed over ICI (psum) and
-        every device applies the identical update to its replicated table
+        """Batched TD update with duplicate averaging.
+
+        With N parallel envs, many transitions in one batch can share the
+        same (s, a) — at N ≫ |S| this is the common case (all envs start in
+        the start state). Summing their TD deltas multiplies the effective
+        learning rate by the duplicate count and diverges; instead the
+        scatter accumulates TD errors AND counts, and applies the *mean* TD
+        per (s, a): ``Q[s,a] += lr · mean(td)``. N=1 recovers the reference's
+        sequential update exactly.
+
+        Under ``shard_map`` over a data axis, pass ``axis_name`` so the
+        per-shard sums/counts are psum-ed before the division and every
+        device applies the identical update to its replicated table
         (SURVEY.md §2d data parallelism)."""
         q = astate.q
         target = rewards + self.discount * jnp.where(
             dones, 0.0, jnp.max(q[next_idx], axis=-1)
         )
         td = target - q[s_idx, actions]
-        delta = jnp.zeros_like(q).at[s_idx, actions].add(self.lr * td)
+        td_sum = jnp.zeros_like(q).at[s_idx, actions].add(td)
+        cnt = jnp.zeros_like(q).at[s_idx, actions].add(1.0)
         n = jnp.int32(s_idx.shape[0])
         if axis_name is not None:
-            delta = jax.lax.psum(delta, axis_name)
+            td_sum = jax.lax.psum(td_sum, axis_name)
+            cnt = jax.lax.psum(cnt, axis_name)
             n = jax.lax.psum(n, axis_name)
+        delta = self.lr * td_sum / jnp.maximum(cnt, 1.0)
         return TabularQState(q=q + delta, step=astate.step + n)

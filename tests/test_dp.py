@@ -140,3 +140,26 @@ def test_cli_multi_device_dqn(mesh):
         ]
     )
     assert "mean_return" in stats
+
+
+def test_model_axis_tensor_parallel_expressible():
+    """SURVEY.md §2d: the 'model' mesh axis is reserved so TP PartitionSpecs
+    are expressible. Prove it: a weight sharded over 'model' and activations
+    over 'data' run a jitted matmul on a (4, 2) mesh with GSPMD inserting
+    the collectives."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    mesh42 = make_mesh(n_data=4, n_model=2)
+    key = jax.random.PRNGKey(0)
+    w = jax.device_put(
+        jax.random.normal(key, (256, 128)), NamedSharding(mesh42, P(None, "model"))
+    )
+    x = jax.device_put(
+        jax.random.normal(key, (64, 256)), NamedSharding(mesh42, P("data", None))
+    )
+    y = jax.jit(lambda x, w: jax.nn.relu(x @ w))(x, w)
+    assert y.shape == (64, 128)
+    np.testing.assert_allclose(
+        np.asarray(y), np.maximum(np.asarray(x) @ np.asarray(w), 0), rtol=2e-4, atol=1e-4
+    )
