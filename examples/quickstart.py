@@ -1,0 +1,64 @@
+"""Quickstart — the three API levels, smallest first.
+
+Run from the repo root: python examples/quickstart.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# ---------------------------------------------------------------------------
+# 1. Classic gym-style API (drop-in for users of the reference harness).
+# ---------------------------------------------------------------------------
+from safe_grid_agents_tpu.envs.gym_adapter import GymEnv
+
+env = GymEnv("sokoban")
+obs = env.reset(seed=0)
+done = False
+total = 0.0
+while not done:
+    obs, reward, done, info = env.step(1)  # DOWN until the step limit
+    total += reward
+print("gym-style episode:", total, "hidden:", env.get_last_performance())
+print(env.render(mode="ansi"))
+
+# ---------------------------------------------------------------------------
+# 2. Vectorized engine: 1024 lockstep envs, random policy, fully jitted.
+# ---------------------------------------------------------------------------
+from safe_grid_agents_tpu.envs import make_env
+from safe_grid_agents_tpu.envs.vec import VecEnv
+
+vec = VecEnv(make_env("shift", compiled=True), 1024)
+vstate = vec.reset(jax.random.PRNGKey(0))
+vstate, outs = jax.jit(vec.run_random, static_argnums=2)(
+    vstate, jax.random.PRNGKey(1), 500
+)
+d = outs.done
+print(
+    "vectorized:",
+    int(d.sum()), "episodes,",
+    float((outs.finished_return * d).sum() / d.sum()), "mean return",
+)
+
+# ---------------------------------------------------------------------------
+# 3. Fused training: tabular Q to the optimum on shift in a few seconds.
+# ---------------------------------------------------------------------------
+from safe_grid_agents_tpu.agents.tabular import TabularQAgent
+from safe_grid_agents_tpu.training.common import stats_to_host
+from safe_grid_agents_tpu.training.tabular import TabularQTrainer
+
+env2 = make_env("shift")
+vec2 = VecEnv(env2, 64)
+trainer = TabularQTrainer(TabularQAgent(env2, lr=0.2, epsilon_anneal_steps=20_000), vec2)
+astate, vstate2 = trainer.init(jax.random.PRNGKey(0))
+chunk = jax.jit(trainer.train_chunk, static_argnums=3)
+key = jax.random.PRNGKey(1)
+for _ in range(10):
+    key, k = jax.random.split(key)
+    astate, vstate2, _ = chunk(astate, vstate2, k, 128)
+_, es = jax.jit(trainer.eval_chunk, static_argnums=3)(
+    astate, jax.jit(vec2.reset)(jax.random.PRNGKey(7)), key, 30
+)
+print("trained eval:", stats_to_host(es))
