@@ -50,6 +50,7 @@ class DQNAgent(Agent):
         replay_capacity: int = 100_000,
         sync_every: int = 200,
         hidden: tuple = (128, 128),
+        table: bool = False,
     ):
         super().__init__(env)
         self.discount = discount
@@ -59,13 +60,29 @@ class DQNAgent(Agent):
         self.batch_size = batch_size
         self.replay_capacity = replay_capacity
         self.sync_every = sync_every
-        self.net = QMLP(n_actions=env.n_actions, hidden=hidden)
+        self._table_net = table
+        if table:
+            # Table-folded fast path (compiled envs): obs table folded into
+            # the first dense layer; forward consumes state indices.
+            from ..envs.compiled import CompiledEnv
+            from .networks import make_table_q
+
+            assert isinstance(env, CompiledEnv), "table=True needs a compiled env"
+            s = env.obs_table.shape[0]
+            self.net = make_table_q(
+                env.obs_table.reshape(s, -1), env.n_actions, hidden
+            )
+        else:
+            self.net = QMLP(n_actions=env.n_actions, hidden=hidden)
         self.tx = optax.adam(lr)
         self._v_observe = jax.vmap(env.observe)
 
     def init(self, key) -> DQNState:
-        obs = self.env.observe(self.env.reset(key))
-        params = self.net.init(key, obs[None])
+        if self._table_net:
+            params = self.net.init(key, jnp.zeros((1,), jnp.int32))
+        else:
+            obs = self.env.observe(self.env.reset(key))
+            params = self.net.init(key, obs[None])
         example = Transition(
             state=self.env.reset(key),
             action=jnp.int32(0),
@@ -87,6 +104,8 @@ class DQNAgent(Agent):
         return self.epsilon + frac * (self.epsilon_final - self.epsilon)
 
     def q_values(self, params, env_states) -> jnp.ndarray:
+        if self._table_net:
+            return self.net.apply(params, env_states.idx)
         return self.net.apply(params, self._v_observe(env_states))
 
     def act(self, astate: DQNState, env_states, key):
@@ -104,9 +123,13 @@ class DQNAgent(Agent):
         return jnp.where(explore, rand, greedy)
 
     def td_loss(self, params, target_params, batch: Transition) -> jnp.ndarray:
-        q = self.net.apply(params, self._v_observe(batch.state))
+        if self._table_net:
+            q = self.net.apply(params, batch.state.idx)
+            q_next = self.net.apply(target_params, batch.next_state.idx)
+        else:
+            q = self.net.apply(params, self._v_observe(batch.state))
+            q_next = self.net.apply(target_params, self._v_observe(batch.next_state))
         q_sa = jnp.take_along_axis(q, batch.action[:, None], axis=-1).squeeze(-1)
-        q_next = self.net.apply(target_params, self._v_observe(batch.next_state))
         target = batch.reward + self.discount * jnp.where(
             batch.done, 0.0, q_next.max(-1)
         )

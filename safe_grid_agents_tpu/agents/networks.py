@@ -44,6 +44,29 @@ class ActorCriticMLP(nn.Module):
         return logits, value
 
 
+def make_table_q(obs_flat, n_actions: int, hidden=(128, 128)):
+    """Table-folded Q network for compiled envs (see make_table_actor_critic
+    for the algebra). Consumes state indices, returns Q[a]."""
+    import numpy as np
+
+    obs_const = np.asarray(obs_flat, np.float32)
+    d = obs_const.shape[1]
+
+    class TableQMLP(nn.Module):
+        @nn.compact
+        def __call__(self, idx):
+            init = nn.initializers.lecun_normal()
+            w1 = self.param("w1", init, (d, hidden[0]))
+            b1 = self.param("b1", nn.initializers.zeros, (hidden[0],))
+            folded = jnp.asarray(obs_const) @ w1
+            x = nn.relu(folded[idx] + b1)
+            for h in hidden[1:]:
+                x = nn.relu(nn.Dense(h)(x))
+            return nn.Dense(n_actions)(x)
+
+    return TableQMLP()
+
+
 def make_table_actor_critic(obs_flat, n_actions: int, hidden=(128, 128)):
     """Table-folded actor-critic for compiled envs.
 

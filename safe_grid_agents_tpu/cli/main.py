@@ -25,6 +25,9 @@ def run(argv=None) -> dict:
 
         args = apply_preset(args, argv if argv is not None else sys.argv[1:])
 
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
     # Join a multi-host cluster when cluster env vars are present (no-op for
     # single-process runs) — must precede any device query.
     from ..parallel.multihost import ensure_initialized

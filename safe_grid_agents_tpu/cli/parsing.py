@@ -92,6 +92,9 @@ def prepare_parser() -> argparse.ArgumentParser:
                      help="evaluate on a different env alias (the "
                           "distributional-shift protocol: train on 'shift', "
                           "eval on 'shift-test')")
+    run.add_argument("--debug-nans", action="store_true",
+                     help="enable jax_debug_nans (SURVEY.md §5 sanitizers): "
+                          "fail fast on NaNs from any jitted computation")
     run.add_argument("--profile-dir", type=str, default=None,
                      help="write a jax.profiler trace (TensorBoard/Perfetto) "
                           "covering a mid-training chunk window")

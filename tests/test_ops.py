@@ -96,3 +96,33 @@ def test_ppo_table_net_matches_behavior():
     a2 = agent.for_env(env2)
     acts = a2.act(astate, jax.tree.map(lambda x: x[:4], jax.jit(VecEnv(env2, 4).reset)(key).env), key)
     assert acts.shape == (4,)
+
+
+def test_dqn_table_net_learns_sokoban():
+    from safe_grid_agents_tpu.agents.dqn import DQNAgent
+    from safe_grid_agents_tpu.training.dqn import DQNTrainer
+    from safe_grid_agents_tpu.training.common import stats_to_host
+
+    env = make_env("sokoban", compiled=True)
+    vec = VecEnv(env, 128)
+    agent = DQNAgent(
+        env, table=True, lr=5e-4, epsilon_anneal_steps=60_000,
+        batch_size=128, replay_capacity=50_000, sync_every=100,
+    )
+    tr = DQNTrainer(agent, vec, updates_per_chunk=32)
+    astate, vstate = tr.init(jax.random.PRNGKey(0))
+    astate, vstate, _ = jax.jit(tr.warmup_chunk, static_argnums=3)(
+        astate, vstate, jax.random.PRNGKey(2), 40
+    )
+    chunk = jax.jit(tr.train_chunk, static_argnums=3)
+    echunk = jax.jit(tr.eval_chunk, static_argnums=3)
+    jreset = jax.jit(vec.reset)
+    key = jax.random.PRNGKey(1)
+    best = -1e9
+    for i in range(15):
+        key, k = jax.random.split(key)
+        astate, vstate, stats, loss = chunk(astate, vstate, k, 32)
+        if i >= 8:
+            _, es = echunk(astate, jreset(jax.random.PRNGKey(7)), k, 120)
+            best = max(best, stats_to_host(es)["mean_return"])
+    assert best >= 40.0, f"table-net DQN best eval {best}"
