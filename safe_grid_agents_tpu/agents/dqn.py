@@ -108,6 +108,17 @@ class DQNAgent(Agent):
             return self.net.apply(params, env_states.idx)
         return self.net.apply(params, self._v_observe(env_states))
 
+    def for_env(self, env):
+        c = super().for_env(env)
+        if self._table_net:
+            # Rebind the fold table to the eval env's layout (same shapes) —
+            # otherwise --eval-env would gather TRAIN-layout observations.
+            from .networks import make_table_q
+
+            s = env.obs_table.shape[0]
+            c.net = make_table_q(env.obs_table.reshape(s, -1), env.n_actions)
+        return c
+
     def act(self, astate: DQNState, env_states, key):
         del key
         return jnp.argmax(self.q_values(astate.params, env_states), -1).astype(

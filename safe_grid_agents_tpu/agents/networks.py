@@ -44,27 +44,35 @@ class ActorCriticMLP(nn.Module):
         return logits, value
 
 
-def make_table_q(obs_flat, n_actions: int, hidden=(128, 128)):
-    """Table-folded Q network for compiled envs (see make_table_actor_critic
-    for the algebra). Consumes state indices, returns Q[a]."""
+def _make_table_net(obs_flat, hidden, activation, head_fn):
+    """Shared table-folding builder (see make_table_actor_critic's doc for
+    the algebra). ``head_fn(x)`` produces the network's output(s) from the
+    final hidden layer inside the compact module scope."""
     import numpy as np
 
-    obs_const = np.asarray(obs_flat, np.float32)
+    obs_const = np.asarray(obs_flat, np.float32)  # [S, D] static
     d = obs_const.shape[1]
 
-    class TableQMLP(nn.Module):
+    class TableNet(nn.Module):
         @nn.compact
         def __call__(self, idx):
             init = nn.initializers.lecun_normal()
             w1 = self.param("w1", init, (d, hidden[0]))
             b1 = self.param("b1", nn.initializers.zeros, (hidden[0],))
-            folded = jnp.asarray(obs_const) @ w1
-            x = nn.relu(folded[idx] + b1)
+            folded = jnp.asarray(obs_const) @ w1          # [S, H] — hoistable
+            x = activation(folded[idx] + b1)
             for h in hidden[1:]:
-                x = nn.relu(nn.Dense(h)(x))
-            return nn.Dense(n_actions)(x)
+                x = activation(nn.Dense(h)(x))
+            return head_fn(x)
 
-    return TableQMLP()
+    return TableNet()
+
+
+def make_table_q(obs_flat, n_actions: int, hidden=(128, 128)):
+    """Table-folded Q network for compiled envs: state indices → Q[a]."""
+    return _make_table_net(
+        obs_flat, hidden, nn.relu, lambda x: nn.Dense(n_actions)(x)
+    )
 
 
 def make_table_actor_critic(obs_flat, n_actions: int, hidden=(128, 128)):
@@ -80,26 +88,11 @@ def make_table_actor_critic(obs_flat, n_actions: int, hidden=(128, 128)):
 
     Consumes state *indices* (i32 [B]) instead of observation planes.
     """
-    import numpy as np
 
-    obs_const = np.asarray(obs_flat, np.float32)  # [S, D] static
-    d = obs_const.shape[1]
+    def head(x):
+        return nn.Dense(n_actions)(x), nn.Dense(1)(x).squeeze(-1)
 
-    class TableActorCriticMLP(nn.Module):
-        @nn.compact
-        def __call__(self, idx):
-            init = nn.initializers.lecun_normal()
-            w1 = self.param("w1", init, (d, hidden[0]))
-            b1 = self.param("b1", nn.initializers.zeros, (hidden[0],))
-            folded = jnp.asarray(obs_const) @ w1          # [S, H] — hoistable
-            x = jnp.tanh(folded[idx] + b1)
-            for h in hidden[1:]:
-                x = nn.tanh(nn.Dense(h)(x))
-            logits = nn.Dense(n_actions)(x)
-            value = nn.Dense(1)(x).squeeze(-1)
-            return logits, value
-
-    return TableActorCriticMLP()
+    return _make_table_net(obs_flat, hidden, nn.tanh, head)
 
 
 class ActorCriticCNN(nn.Module):

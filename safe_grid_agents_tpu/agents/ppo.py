@@ -44,6 +44,8 @@ class PPOAgent(Agent):
         gae_lambda: float = 0.95,
         clipping: float = 0.2,
         entropy_bonus: float = 0.01,
+        entropy_final: float | None = None,
+        entropy_anneal_steps: int = 0,
         value_coef: float = 0.5,
         epochs: int = 4,
         n_minibatches: int = 4,
@@ -79,6 +81,8 @@ class PPOAgent(Agent):
         self.gae_lambda = gae_lambda
         self.clipping = clipping
         self.entropy_bonus = entropy_bonus
+        self.entropy_final = entropy_bonus if entropy_final is None else entropy_final
+        self.entropy_anneal_steps = entropy_anneal_steps
         self.value_coef = value_coef
         self.epochs = epochs
         self.n_minibatches = n_minibatches
@@ -132,11 +136,21 @@ class PPOAgent(Agent):
         logp_a = jnp.take_along_axis(logp, action[:, None], axis=-1).squeeze(-1)
         return action, logp_a, value
 
-    def loss(self, params, batch) -> jnp.ndarray:
+    def entropy_coef(self, step) -> jnp.ndarray:
+        """Linearly annealed entropy bonus (constant when anneal_steps=0) —
+        high early exploration pressure that decays once the return signal
+        is established; stabilizes the sparse-goal envs."""
+        if self.entropy_anneal_steps <= 0:
+            return jnp.float32(self.entropy_bonus)
+        frac = jnp.clip(step / self.entropy_anneal_steps, 0.0, 1.0)
+        return self.entropy_bonus + frac * (self.entropy_final - self.entropy_bonus)
+
+    def loss(self, params, batch, entropy_coef=None) -> jnp.ndarray:
         """Clipped surrogate + value + entropy over one flat minibatch.
 
         ``batch`` dict leaves: states (pytree [B,...]), actions, old_logp,
-        advantages, returns — all [B].
+        advantages, returns — all [B]. ``entropy_coef`` overrides the static
+        bonus (used by the annealing schedule).
         """
         logits, value = self.policy_value(params, batch["states"])
         logp = jax.nn.log_softmax(logits)
@@ -152,7 +166,8 @@ class PPOAgent(Agent):
         policy_loss = -surr.mean()
         value_loss = 0.5 * jnp.square(value - batch["returns"]).mean()
         entropy = -(jnp.exp(logp) * logp).sum(-1).mean()
-        return policy_loss + self.value_coef * value_loss - self.entropy_bonus * entropy
+        coef = jnp.float32(self.entropy_bonus) if entropy_coef is None else entropy_coef
+        return policy_loss + self.value_coef * value_loss - coef * entropy
 
 
 class PPOCNNAgent(PPOAgent):

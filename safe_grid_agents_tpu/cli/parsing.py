@@ -34,6 +34,8 @@ AGENT_FLAGS: Dict[str, Dict[str, tuple]] = {
     "ppo": {
         "--clipping": (float, "PPO clip ε"),
         "--entropy-bonus": (float, "entropy bonus coefficient"),
+        "--entropy-final": (float, "annealed final entropy coefficient"),
+        "--entropy-anneal-steps": (int, "entropy anneal horizon (env steps; 0=const)"),
         "--epochs": (int, "optimization epochs per rollout"),
         "--n-minibatches": (int, "minibatches per epoch"),
         "--gae-lambda": (float, "GAE λ"),
@@ -130,9 +132,21 @@ def apply_preset(args: argparse.Namespace, argv) -> argparse.Namespace:
             f"no preset for env {args.env!r} + agent {args.agent!r}; "
             f"available: { {e: sorted(a) for e, a in presets.items()} }"
         )
-    explicit = {tok for tok in (argv or []) if tok.startswith("--")}
+    # Explicit flags may appear as '--flag value', '--flag=value', or an
+    # unambiguous argparse prefix abbreviation — treat all as explicit.
+    explicit = {
+        tok.split("=", 1)[0] for tok in (argv or []) if tok.startswith("--")
+    }
+
+    def was_explicit(flag: str) -> bool:
+        full = f"--{flag}"
+        return any(
+            full == name or (full.startswith(name) and len(name) > 3)
+            for name in explicit
+        )
+
     for flag, value in table.items():
-        if f"--{flag}" in explicit:
+        if was_explicit(flag):
             continue
         setattr(args, flag.replace("-", "_"), value)
     return args

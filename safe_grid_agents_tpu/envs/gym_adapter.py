@@ -68,6 +68,7 @@ class GymEnv:
         return self._last_performance
 
     def render(self, mode: str = "ansi"):
+        assert self._state is not None, "call reset() first"
         board = np.asarray(self.env.board(self._state))
         if mode == "rgb_array":
             return to_rgb(board)

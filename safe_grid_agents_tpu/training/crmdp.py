@@ -68,7 +68,8 @@ class CRMDPTrainer(PPOTrainer):
         }
         key, ko = jax.random.split(key)
         params, opt_state, loss = self.optimize(
-            astate, flat, ko, batch_size, axis_name=axis_name
+            astate, flat, ko, batch_size, axis_name=axis_name,
+            entropy_coef=agent.entropy_coef(astate.step),
         )
         astate = CRMDPState(
             params=params,

@@ -88,7 +88,7 @@ class PPOTrainer:
     # -- optimization ------------------------------------------------------
     def optimize(
         self, astate: PPOState, flat: dict, key, batch_size: int,
-        axis_name: str | None = None,
+        axis_name: str | None = None, entropy_coef=None,
     ):
         """Multi-epoch shuffled minibatch updates over flat [B] data.
 
@@ -110,7 +110,9 @@ class PPOTrainer:
                 params, opt_state = carry
                 take = jax.lax.dynamic_slice_in_dim(perm, mb_idx * mb_size, mb_size)
                 mb = jax.tree.map(lambda x: x[take], flat)
-                loss, grads = jax.value_and_grad(agent.loss)(params, mb)
+                loss, grads = jax.value_and_grad(agent.loss)(
+                    params, mb, entropy_coef
+                )
                 if axis_name is not None:
                     grads = jax.lax.pmean(grads, axis_name)
                     loss = jax.lax.pmean(loss, axis_name)
@@ -167,7 +169,8 @@ class PPOTrainer:
         }
         key, ko = jax.random.split(key)
         params, opt_state, loss = self.optimize(
-            astate, flat, ko, batch_size, axis_name=axis_name
+            astate, flat, ko, batch_size, axis_name=axis_name,
+            entropy_coef=agent.entropy_coef(astate.step),
         )
         astate = PPOState(
             params=params,

@@ -9,11 +9,24 @@ from typing import Any, Optional
 import orbax.checkpoint as ocp
 
 
+_MANAGERS: dict = {}
+
+
 def _manager(path: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
-    return ocp.CheckpointManager(
-        os.path.abspath(path),
-        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
-    )
+    """One cached manager per directory: concurrent managers on the same
+    path each run their own max_to_keep GC and can delete a sibling's
+    in-flight async write."""
+    path = os.path.abspath(path)
+    mgr = _MANAGERS.get(path)
+    if mgr is None:
+        mgr = ocp.CheckpointManager(
+            path,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+        _MANAGERS[path] = mgr
+    return mgr
 
 
 def save(path: str, step: int, state: Any, max_to_keep: int = 3, wait: bool = True) -> None:
@@ -28,34 +41,32 @@ def save(path: str, step: int, state: Any, max_to_keep: int = 3, wait: bool = Tr
     mgr.save(step, args=ocp.args.StandardSave(state))
     if wait:
         mgr.wait_until_finished()
-        mgr.close()
-    else:
-        _PENDING.append(mgr)
-
-
-_PENDING: list = []
 
 
 def wait_all() -> None:
-    """Barrier on all in-flight async saves (called at end of training)."""
-    while _PENDING:
-        mgr = _PENDING.pop()
+    """Barrier on all in-flight async saves (called at end of training and
+    at interpreter exit; cached managers stay open for reuse)."""
+    for mgr in _MANAGERS.values():
         mgr.wait_until_finished()
+
+
+def close_all() -> None:
+    wait_all()
+    while _MANAGERS:
+        _, mgr = _MANAGERS.popitem()
         mgr.close()
 
 
 import atexit  # noqa: E402
 
-atexit.register(wait_all)
+atexit.register(close_all)
 
 
 def latest_step(path: str) -> Optional[int]:
     if not os.path.isdir(path):
         return None
     mgr = _manager(path)
-    step = mgr.latest_step()
-    mgr.close()
-    return step
+    return mgr.latest_step()
 
 
 def restore(path: str, example_state: Any, step: Optional[int] = None) -> Any:
@@ -63,9 +74,7 @@ def restore(path: str, example_state: Any, step: Optional[int] = None) -> Any:
     mgr = _manager(path)
     step = mgr.latest_step() if step is None else step
     assert step is not None, f"no checkpoint under {path}"
-    out = mgr.restore(step, args=ocp.args.StandardRestore(example_state))
-    mgr.close()
-    return out
+    return mgr.restore(step, args=ocp.args.StandardRestore(example_state))
 
 
 def restore_latest_valid(path: str, example_state: Any):

@@ -18,6 +18,12 @@ sys.path.insert(0, ".")
 
 import jax  # noqa: E402
 
+if __name__ == "__main__":
+    # Goldens MUST come from the CPU backend (matching tests/conftest.py) —
+    # env vars are consumed before user code here (CLAUDE.md), so force it.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+
 GOLDEN_PATH = "tests/goldens/curves.json"
 
 # (name, env, agent, agent_kwargs, trainer_kwargs, n_envs, chunk_steps,
