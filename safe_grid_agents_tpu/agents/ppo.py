@@ -57,7 +57,7 @@ class PPOAgent(Agent):
         if net == "mlp":
             self.net = ActorCriticMLP(n_actions=env.n_actions, hidden=hidden)
         elif net == "cnn":
-            self.net = ActorCriticCNN(n_actions=env.n_actions)
+            self.net = ActorCriticCNN(n_actions=env.n_actions, hidden=hidden[0])
         elif net == "pallas":
             # Fused pallas forward (ops/fused_mlp.py); fixed 128-wide layers.
             from ..ops.fused_mlp import PallasActorCriticMLP

@@ -25,6 +25,11 @@ def run(argv=None) -> dict:
 
         args = apply_preset(args, argv if argv is not None else sys.argv[1:])
 
+    if args.platform:
+        # Must precede any device query (CLAUDE.md: env vars are consumed
+        # before user code here; the config route is the reliable one).
+        jax.config.update("jax_platforms", args.platform)
+
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 

@@ -26,6 +26,13 @@ AGENT_FLAGS: Dict[str, Dict[str, tuple]] = {
         "--epsilon-final": (float, "final exploration rate"),
         "--epsilon-anneal-steps": (int, "linear anneal horizon (env steps)"),
     },
+    "net": {
+        # Reference deep.py net-shape flags [M] (SURVEY.md §2a #9): the
+        # hidden stack is (n_hidden,) * n_layers. Translated to the agents'
+        # ``hidden`` tuple in agent_kwargs().
+        "--n-layers": (int, "hidden layers in the policy/Q net"),
+        "--n-hidden": (int, "units per hidden layer"),
+    },
     "deep-q": {
         "--batch-size": (int, "replay sample size per update"),
         "--replay-capacity": (int, "replay ring capacity (global)"),
@@ -51,10 +58,10 @@ AGENT_GROUPS = {
     "random": [],
     "single": [],
     "tabular-q": ["common", "explorer"],
-    "deep-q": ["common", "explorer", "deep-q"],
-    "ppo-mlp": ["common", "ppo"],
-    "ppo-cnn": ["common", "ppo"],
-    "ppo-crmdp": ["common", "ppo", "ppo-crmdp"],
+    "deep-q": ["common", "explorer", "net", "deep-q"],
+    "ppo-mlp": ["common", "net", "ppo"],
+    "ppo-cnn": ["common", "net", "ppo"],
+    "ppo-crmdp": ["common", "net", "ppo", "ppo-crmdp"],
 }
 
 
@@ -76,7 +83,9 @@ def prepare_parser() -> argparse.ArgumentParser:
     run.add_argument("--n-envs", type=int, default=128, help="vectorized env instances")
     run.add_argument("--steps", type=int, default=500_000, help="total env steps")
     run.add_argument("--chunk-steps", type=int, default=64, help="env steps per fused chunk")
-    run.add_argument("--eval-every", type=int, default=20, help="eval every N chunks")
+    run.add_argument("--eval-every", "--eval-period", dest="eval_every",
+                     type=int, default=20,
+                     help="eval every N chunks (reference: --eval-period)")
     run.add_argument("--eval-steps", type=int, default=120, help="greedy eval steps")
     run.add_argument("--cheat", action="store_true",
                      help="train on the hidden performance signal (debug upper bound)")
@@ -94,6 +103,10 @@ def prepare_parser() -> argparse.ArgumentParser:
                      help="evaluate on a different env alias (the "
                           "distributional-shift protocol: train on 'shift', "
                           "eval on 'shift-test')")
+    run.add_argument("--platform", type=str, default=None,
+                     help="force a jax platform, e.g. 'cpu' (the reference's "
+                          "--disable-cuda analogue); must be the first device "
+                          "decision of the process")
     run.add_argument("--debug-nans", action="store_true",
                      help="enable jax_debug_nans (SURVEY.md §5 sanitizers): "
                           "fail fast on NaNs from any jitted computation")
@@ -162,4 +175,10 @@ def agent_kwargs(args: argparse.Namespace) -> Dict[str, Any]:
             val = getattr(args, name)
             if val is not None:
                 out[name] = val
+    # Net-shape flags translate to the agents' ``hidden`` tuple; either flag
+    # alone keeps the other dimension at its default (2 × 128).
+    n_layers = out.pop("n_layers", None)
+    n_hidden = out.pop("n_hidden", None)
+    if n_layers is not None or n_hidden is not None:
+        out["hidden"] = (n_hidden or 128,) * (n_layers or 2)
     return out

@@ -20,7 +20,7 @@ from __future__ import annotations
 from typing import Any, Tuple
 
 import jax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
@@ -94,7 +94,7 @@ class DPTrainer:
             in_specs=(_astate_specs(astate), _vstate_specs(vstate), P(DATA_AXIS)),
             out_specs=(_astate_specs(astate), _vstate_specs(vstate), P())
             + tuple(extra_out_specs),
-            check_rep=False,
+            check_vma=False,
         )
 
     def train_chunk(self, astate, vstate, key, n_steps: int):
@@ -139,7 +139,7 @@ class DPTrainer:
             mesh=self.mesh,
             in_specs=(_astate_specs(astate), _vstate_specs(vstate), P(DATA_AXIS)),
             out_specs=(_vstate_specs(vstate), P()),
-            check_rep=False,
+            check_vma=False,
         )
         return f(astate, vstate, keys)
 

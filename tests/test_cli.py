@@ -24,6 +24,30 @@ def test_parser_surface():
     assert agent_kwargs(args2) == {"clipping": 0.1, "epochs": 2}
 
 
+def test_net_shape_flags():
+    # Reference deep.py --n-layers/--n-hidden [M] → the agents' hidden tuple.
+    p = prepare_parser()
+    args = p.parse_args(["sokoban", "deep-q", "--n-layers", "3", "--n-hidden", "64"])
+    assert agent_kwargs(args) == {"hidden": (64, 64, 64)}
+    args = p.parse_args(["island", "ppo-mlp", "--n-hidden", "256"])
+    assert agent_kwargs(args) == {"hidden": (256, 256)}
+    # Flags actually shape the nets.
+    from safe_grid_agents_tpu.agents import make_agent
+    from safe_grid_agents_tpu.envs import make_env
+
+    env = make_env("island")
+    agent = make_agent("ppo-mlp", env, hidden=(32, 32, 32))
+    params = agent.init(jax.random.PRNGKey(0)).params
+    kernels = [k for k in jax.tree.leaves(params) if k.ndim == 2]
+    assert {k.shape[1] for k in kernels} >= {32}
+    assert len(kernels) == 5  # 3 hidden + policy head + value head
+
+
+def test_eval_period_alias():
+    p = prepare_parser()
+    assert p.parse_args(["shift", "random", "--eval-period", "7"]).eval_every == 7
+
+
 def test_parser_rejects_unknown_aliases():
     p = prepare_parser()
     with pytest.raises(SystemExit):
