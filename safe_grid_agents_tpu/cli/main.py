@@ -11,7 +11,7 @@ import numpy as np
 from ..agents import make_agent
 from ..envs import make_env
 from ..envs.vec import VecEnv
-from ..parallel import DPTrainer, make_mesh
+from ..parallel import DPTrainer, GSPMDTrainer, make_mesh
 from ..training import make_trainer, stats_to_host
 from ..utils import checkpoint as ckpt
 from ..utils.meters import MetricsLogger
@@ -29,6 +29,9 @@ def run(argv=None) -> dict:
         # Must precede any device query (CLAUDE.md: env vars are consumed
         # before user code here; the config route is the reliable one).
         jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu" and args.n_devices > 1:
+            # Virtual CPU devices so multi-device meshes work off-TPU.
+            jax.config.update("jax_num_cpu_devices", args.n_devices)
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -50,7 +53,15 @@ def run(argv=None) -> dict:
         trainer_kwargs["cheat"] = args.cheat
     trainer = make_trainer(args.agent, agent, vec, **trainer_kwargs)
 
-    if args.n_devices > 1:
+    if args.tp > 1:
+        # dp×tp GSPMD runtime: dense layers shard over 'model', envs over
+        # 'data' (parallel/tp.py). Deep agents only.
+        assert args.agent in ("deep-q", "ppo-mlp", "ppo-cnn", "ppo-crmdp"), (
+            f"--tp needs a deep agent, got {args.agent!r}"
+        )
+        mesh = make_mesh(n_data=args.n_devices // args.tp, n_model=args.tp)
+        trainer = GSPMDTrainer(trainer, mesh)
+    elif args.n_devices > 1:
         mesh = make_mesh(n_data=args.n_devices)
         trainer = DPTrainer(trainer, mesh)
 

@@ -93,7 +93,10 @@ def prepare_parser() -> argparse.ArgumentParser:
                      help="lower the env to the lookup-table engine (bitwise-"
                           "identical, fastest; enumerable envs only)")
     run.add_argument("--n-devices", type=int, default=1,
-                     help="data-parallel devices (mesh axis 'data')")
+                     help="devices in the mesh (data axis, divided by --tp)")
+    run.add_argument("--tp", type=int, default=1,
+                     help="tensor-parallel width (mesh axis 'model'; mesh = "
+                          "(n-devices/tp) x tp, GSPMD runtime; deep agents)")
     run.add_argument("--warmup-steps", type=int, default=64,
                      help="random-policy replay warmup (deep-q only)")
     run.add_argument("--updates-per-chunk", type=int, default=None,
