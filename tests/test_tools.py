@@ -48,3 +48,34 @@ def test_sweep_cli(tmp_path):
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     assert len(lines) == 2
     assert {json.loads(l)["seed"] for l in lines} == {"0", "1"}
+
+
+def test_tune_asha_cli(tmp_path):
+    # ASHA tuner (tools/tune.py): 3 sampled configs, 2 rungs, survivors
+    # RESUME from their rung-1 checkpoints (Ray-Tune-hook parity, SURVEY.md
+    # §2a #13).
+    out = subprocess.run(
+        [
+            sys.executable, "tools/tune.py",
+            "shift", "tabular-q",
+            "--samples", "3", "--rungs", "2", "--eta", "2",
+            "--rung-steps", "16384",
+            "--space", "lr=0.05,0.2,0.5",
+            "--work-dir", str(tmp_path / "tune"),
+            "--n-envs", "64", "--chunk-steps", "64",
+            "--eval-every", "1000", "--eval-steps", "30",
+            "--epsilon-anneal-steps", "8000",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=900,
+        env={**os.environ, "SGA_PLATFORM": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+    rung0 = [l for l in lines if l.get("rung") == 0]
+    rung1 = [l for l in lines if l.get("rung") == 1]
+    assert len(rung0) == 3, lines
+    assert len(rung1) == 1, lines          # top 1/eta promoted
+    assert rung1[0]["steps"] == 32768      # eta× longer budget
+    assert "resumed from chunk" in out.stdout  # promotion resumed, not re-ran
+    winner = lines[-1]
+    assert "winner" in winner and "lr" in winner
