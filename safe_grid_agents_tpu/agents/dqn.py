@@ -51,8 +51,10 @@ class DQNAgent(Agent):
         sync_every: int = 200,
         hidden: tuple = (128, 128),
         table: bool = False,
+        double_q: bool = False,
     ):
         super().__init__(env)
+        self.double_q = double_q
         self.discount = discount
         self.epsilon = epsilon
         self.epsilon_final = epsilon_final
@@ -135,15 +137,25 @@ class DQNAgent(Agent):
 
     def td_loss(self, params, target_params, batch: Transition) -> jnp.ndarray:
         if self._table_net:
+            nxt = batch.next_state.idx
             q = self.net.apply(params, batch.state.idx)
-            q_next = self.net.apply(target_params, batch.next_state.idx)
+            q_next = self.net.apply(target_params, nxt)
         else:
+            nxt = self._v_observe(batch.next_state)
             q = self.net.apply(params, self._v_observe(batch.state))
-            q_next = self.net.apply(target_params, self._v_observe(batch.next_state))
+            q_next = self.net.apply(target_params, nxt)
         q_sa = jnp.take_along_axis(q, batch.action[:, None], axis=-1).squeeze(-1)
-        target = batch.reward + self.discount * jnp.where(
-            batch.done, 0.0, q_next.max(-1)
-        )
+        if self.double_q:
+            # Double DQN (van Hasselt et al. 2015): the ONLINE net picks the
+            # bootstrap action, the target net evaluates it — decoupling
+            # selection from evaluation to curb max-operator overestimation.
+            a_star = jnp.argmax(
+                jax.lax.stop_gradient(self.net.apply(params, nxt)), -1
+            )
+            boot = jnp.take_along_axis(q_next, a_star[:, None], -1).squeeze(-1)
+        else:
+            boot = q_next.max(-1)
+        target = batch.reward + self.discount * jnp.where(batch.done, 0.0, boot)
         return optax.huber_loss(q_sa, jax.lax.stop_gradient(target)).mean()
 
     def update(self, astate: DQNState, key, axis_name: str | None = None) -> tuple:

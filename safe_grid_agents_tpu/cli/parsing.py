@@ -37,6 +37,8 @@ AGENT_FLAGS: Dict[str, Dict[str, tuple]] = {
         "--batch-size": (int, "replay sample size per update"),
         "--replay-capacity": (int, "replay ring capacity (global)"),
         "--sync-every": (int, "target-network hard sync period (updates)"),
+        "--double-q": (bool, "double DQN: online net selects the bootstrap "
+                             "action, target net evaluates it"),
     },
     "ppo": {
         "--clipping": (float, "PPO clip ε"),
@@ -127,7 +129,13 @@ def prepare_parser() -> argparse.ArgumentParser:
     for group in AGENT_FLAGS.values():
         for flag, (typ, help_) in group.items():
             if flag not in seen:
-                agent.add_argument(flag, type=typ, default=None, help=help_)
+                if typ is bool:
+                    # default=None (not False) so agent_kwargs only forwards
+                    # the flag when the user actually passed it.
+                    agent.add_argument(flag, action="store_true", default=None,
+                                       help=help_)
+                else:
+                    agent.add_argument(flag, type=typ, default=None, help=help_)
                 seen.add(flag)
     return p
 

@@ -154,3 +154,60 @@ def test_random_agent_plumbing():
     s = stats_to_host(stats)
     assert s["episodes"] >= 32  # 100-step limit → every env finished once
     assert s["env_steps"] == 120 * 32
+
+
+# ---- double DQN -----------------------------------------------------------
+
+def test_double_q_target_reduces_to_max_when_nets_equal():
+    """With online == target params, double-Q's argmax-online bootstrap
+    equals the max-target bootstrap, so both losses coincide exactly."""
+    env = make_env("shift")
+    base = DQNAgent(env, batch_size=8)
+    double = DQNAgent(env, batch_size=8, double_q=True)
+    double.net = base.net  # identical init
+    astate = base.init(jax.random.PRNGKey(0))
+    keys = jax.random.split(jax.random.PRNGKey(1), 8)
+    states = jax.vmap(env.reset)(keys)
+    from safe_grid_agents_tpu.types import Experience
+
+    batch = Experience(
+        state=states,
+        action=jnp.arange(8, dtype=jnp.int32) % env.n_actions,
+        reward=jnp.linspace(-1.0, 1.0, 8),
+        next_state=jax.vmap(env.reset)(jax.random.split(jax.random.PRNGKey(2), 8)),
+        done=jnp.arange(8) % 2 == 0,
+    )
+    l1 = base.td_loss(astate.params, astate.params, batch)
+    l2 = double.td_loss(astate.params, astate.params, batch)
+    assert jnp.array_equal(l1, l2), (float(l1), float(l2))
+
+
+def test_double_dqn_learns_sokoban():
+    env = make_env("sokoban")
+    vec = VecEnv(env, 128)
+    agent = DQNAgent(
+        env,
+        lr=5e-4,
+        epsilon_anneal_steps=60_000,
+        batch_size=128,
+        replay_capacity=50_000,
+        sync_every=100,
+        double_q=True,
+    )
+    trainer = DQNTrainer(agent, vec, updates_per_chunk=32)
+    astate, vstate = trainer.init(jax.random.PRNGKey(0))
+    astate, vstate, _ = jax.jit(trainer.warmup_chunk, static_argnums=3)(
+        astate, vstate, jax.random.PRNGKey(2), 40
+    )
+    chunk = jax.jit(trainer.train_chunk, static_argnums=3)
+    echunk = jax.jit(trainer.eval_chunk, static_argnums=3)
+    jreset = jax.jit(vec.reset)
+    key = jax.random.PRNGKey(1)
+    best = -1e9
+    for i in range(15):
+        key, k = jax.random.split(key)
+        astate, vstate, stats, loss = chunk(astate, vstate, k, 32)
+        if i >= 8:
+            _, es = echunk(astate, jreset(jax.random.PRNGKey(7)), k, 60)
+            best = max(best, stats_to_host(es)["mean_return"])
+    assert best >= 40.0, f"double DQN best eval {best}"
