@@ -52,9 +52,17 @@ class DQNAgent(Agent):
         hidden: tuple = (128, 128),
         table: bool = False,
         double_q: bool = False,
+        prioritized: bool = False,
+        per_alpha: float = 0.6,
+        per_beta: float = 0.4,
+        per_clip: float = 1.0,
     ):
         super().__init__(env)
         self.double_q = double_q
+        self.prioritized = prioritized
+        self.per_alpha = per_alpha
+        self.per_beta = per_beta
+        self.per_clip = per_clip
         self.discount = discount
         self.epsilon = epsilon
         self.epsilon_final = epsilon_final
@@ -92,14 +100,31 @@ class DQNAgent(Agent):
             next_state=self.env.reset(key),
             done=jnp.bool_(False),
         )
+        buf = (
+            replay.init_prioritized(self.replay_capacity, example)
+            if self.prioritized
+            else replay.init(self.replay_capacity, example)
+        )
         return DQNState(
             params=params,
             target_params=params,
             opt_state=self.tx.init(params),
-            buffer=replay.init(self.replay_capacity, example),
+            buffer=buf,
             step=jnp.int32(0),
             updates=jnp.int32(0),
         )
+
+    def push(self, buffer, batch: Transition):
+        """Append a batch of transitions to whichever ring this agent uses."""
+        if self.prioritized:
+            return replay.push_batch_prioritized(buffer, batch)
+        return replay.push_batch(buffer, batch)
+
+    def current_beta(self, step) -> jnp.ndarray:
+        """PER importance-correction exponent, annealed β₀ → 1 over the same
+        horizon as ε (Schaul et al.: full correction by convergence)."""
+        frac = jnp.clip(step / self.epsilon_anneal_steps, 0.0, 1.0)
+        return self.per_beta + frac * (1.0 - self.per_beta)
 
     def current_epsilon(self, step) -> jnp.ndarray:
         frac = jnp.clip(step / self.epsilon_anneal_steps, 0.0, 1.0)
@@ -135,7 +160,8 @@ class DQNAgent(Agent):
         explore = jax.random.bernoulli(k2, self.current_epsilon(astate.step), (n,))
         return jnp.where(explore, rand, greedy)
 
-    def td_loss(self, params, target_params, batch: Transition) -> jnp.ndarray:
+    def td_components(self, params, target_params, batch: Transition):
+        """Per-sample (huber losses, TD errors) for a sampled batch."""
         if self._table_net:
             nxt = batch.next_state.idx
             q = self.net.apply(params, batch.state.idx)
@@ -155,18 +181,45 @@ class DQNAgent(Agent):
             boot = jnp.take_along_axis(q_next, a_star[:, None], -1).squeeze(-1)
         else:
             boot = q_next.max(-1)
-        target = batch.reward + self.discount * jnp.where(batch.done, 0.0, boot)
-        return optax.huber_loss(q_sa, jax.lax.stop_gradient(target)).mean()
+        target = jax.lax.stop_gradient(
+            batch.reward + self.discount * jnp.where(batch.done, 0.0, boot)
+        )
+        return optax.huber_loss(q_sa, target), q_sa - target
+
+    def td_loss(self, params, target_params, batch: Transition) -> jnp.ndarray:
+        losses, _ = self.td_components(params, target_params, batch)
+        return losses.mean()
 
     def update(self, astate: DQNState, key, axis_name: str | None = None) -> tuple:
         """One sampled gradient step + scheduled target sync. Under
         ``shard_map`` each device samples its own shard's buffer; ``psum``-
         averaged gradients keep the replicated params in lockstep
         (SURVEY.md §2d)."""
-        batch = replay.sample(astate.buffer, key, self.batch_size)
-        loss, grads = jax.value_and_grad(self.td_loss)(
-            astate.params, astate.target_params, batch
-        )
+        buffer = astate.buffer
+        if self.prioritized:
+            batch, idxs, weights = replay.sample_prioritized(
+                buffer, key, self.batch_size, self.per_alpha,
+                self.current_beta(astate.step),
+            )
+
+            def loss_fn(params):
+                losses, td = self.td_components(
+                    params, astate.target_params, batch
+                )
+                return (weights * losses).mean(), td
+
+            (loss, td), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                astate.params
+            )
+            # Pre-update |δ| (clipped) becomes the sampled slots' priority.
+            buffer = replay.update_priorities(
+                buffer, idxs, td, clip=self.per_clip
+            )
+        else:
+            batch = replay.sample(buffer, key, self.batch_size)
+            loss, grads = jax.value_and_grad(self.td_loss)(
+                astate.params, astate.target_params, batch
+            )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
@@ -182,7 +235,7 @@ class DQNAgent(Agent):
                 params=params,
                 target_params=target_params,
                 opt_state=opt_state,
-                buffer=astate.buffer,
+                buffer=buffer,
                 step=astate.step,
                 updates=n_updates,
             ),

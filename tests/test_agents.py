@@ -211,3 +211,74 @@ def test_double_dqn_learns_sokoban():
             _, es = echunk(astate, jreset(jax.random.PRNGKey(7)), k, 60)
             best = max(best, stats_to_host(es)["mean_return"])
     assert best >= 40.0, f"double DQN best eval {best}"
+
+
+# ---- prioritized replay ----------------------------------------------------
+
+def test_per_sampling_proportional_to_priority():
+    """Empirical draw frequencies track p^α over the valid prefix."""
+    example = {"x": jnp.float32(0.0)}
+    buf = replay.init_prioritized(8, example)
+    buf = replay.push_batch_prioritized(
+        buf, {"x": jnp.arange(4, dtype=jnp.float32)}
+    )
+    # Hand-set priorities 1,2,3,4 on the 4 valid slots.
+    buf = replay.update_priorities(
+        buf, jnp.arange(4), jnp.array([1.0, 2.0, 3.0, 4.0]), eps=0.0, clip=100.0
+    )
+    _, idxs, weights = replay.sample_prioritized(
+        buf, jax.random.PRNGKey(0), 20_000, alpha=1.0, beta=1.0
+    )
+    counts = np.bincount(np.asarray(idxs), minlength=8)
+    assert counts[4:].sum() == 0, "sampled an invalid slot"
+    freqs = counts[:4] / counts[:4].sum()
+    expect = np.array([1, 2, 3, 4]) / 10.0
+    assert np.allclose(freqs, expect, atol=0.02), (freqs, expect)
+    # β=1 importance weights invert the sampling bias: w ∝ 1/p, max-normed.
+    w_by_slot = np.zeros(4)
+    w_by_slot[np.asarray(idxs)] = np.asarray(weights)
+    assert np.argmax(w_by_slot) == 0 and np.argmin(w_by_slot[:4]) == 3
+
+
+def test_per_new_pushes_get_max_priority():
+    example = {"x": jnp.float32(0.0)}
+    buf = replay.init_prioritized(8, example)
+    buf = replay.push_batch_prioritized(buf, {"x": jnp.zeros(2)})
+    assert float(buf.priorities[:2].min()) == 1.0
+    buf = replay.update_priorities(
+        buf, jnp.array([0]), jnp.array([7.0]), eps=0.0, clip=100.0
+    )
+    buf = replay.push_batch_prioritized(buf, {"x": jnp.zeros(2)})
+    assert float(buf.priorities[2]) == 7.0, "new entry should get max priority"
+
+
+def test_prioritized_dqn_learns_sokoban():
+    env = make_env("sokoban")
+    vec = VecEnv(env, 128)
+    agent = DQNAgent(
+        env,
+        lr=5e-4,
+        epsilon_anneal_steps=60_000,
+        batch_size=128,
+        replay_capacity=50_000,
+        sync_every=100,
+        double_q=True,
+        prioritized=True,
+    )
+    trainer = DQNTrainer(agent, vec, updates_per_chunk=32)
+    astate, vstate = trainer.init(jax.random.PRNGKey(0))
+    astate, vstate, _ = jax.jit(trainer.warmup_chunk, static_argnums=3)(
+        astate, vstate, jax.random.PRNGKey(2), 40
+    )
+    chunk = jax.jit(trainer.train_chunk, static_argnums=3)
+    echunk = jax.jit(trainer.eval_chunk, static_argnums=3)
+    jreset = jax.jit(vec.reset)
+    key = jax.random.PRNGKey(1)
+    best = -1e9
+    for i in range(15):
+        key, k = jax.random.split(key)
+        astate, vstate, stats, loss = chunk(astate, vstate, k, 32)
+        if i >= 8:
+            _, es = echunk(astate, jreset(jax.random.PRNGKey(7)), k, 60)
+            best = max(best, stats_to_host(es)["mean_return"])
+    assert best >= 40.0, f"PER DQN best eval {best}"
