@@ -56,8 +56,11 @@ class DQNAgent(Agent):
         per_alpha: float = 0.6,
         per_beta: float = 0.4,
         per_clip: float = 1.0,
+        n_step: int = 1,
     ):
         super().__init__(env)
+        assert n_step >= 1
+        self.n_step = n_step
         self.double_q = double_q
         self.prioritized = prioritized
         self.per_alpha = per_alpha
@@ -181,8 +184,11 @@ class DQNAgent(Agent):
             boot = jnp.take_along_axis(q_next, a_star[:, None], -1).squeeze(-1)
         else:
             boot = q_next.max(-1)
+        # n-step: batch.reward is the truncated window return Rₜ⁽ⁿ⁾ and the
+        # bootstrap sits n steps out, so it pays γⁿ (training/dqn.py).
+        gamma_n = self.discount ** self.n_step
         target = jax.lax.stop_gradient(
-            batch.reward + self.discount * jnp.where(batch.done, 0.0, boot)
+            batch.reward + gamma_n * jnp.where(batch.done, 0.0, boot)
         )
         return optax.huber_loss(q_sa, target), q_sa - target
 

@@ -46,6 +46,8 @@ AGENT_FLAGS: Dict[str, Dict[str, tuple]] = {
                               "to 1 over the ε horizon)"),
         "--per-clip": (float, "PER priority clip on |TD error| (load-bearing "
                               "with unclipped ±50 rewards)"),
+        "--n-step": (int, "n-step return horizon for the TD target "
+                          "(bootstrap pays gamma^n)"),
     },
     "ppo": {
         "--clipping": (float, "PPO clip ε"),

@@ -1,8 +1,15 @@
 """Fused DQN trainer (reference learn.py::dqn_learn + warmup.py::dqn_warmup,
 SURVEY.md §2a #3/#5): each chunk scans T vectorized env steps — act-explore,
-step, push N transitions — then performs U sampled gradient updates, all in
-one jitted program. Warmup fills the replay buffer with random-policy
-transitions before learning, exactly like the reference."""
+step — pushes the chunk's transitions into replay, then performs U sampled
+gradient updates, all in one jitted program. Warmup fills the replay buffer
+with random-policy transitions before learning, exactly like the reference.
+
+n-step returns (``DQNAgent(n_step=n)``): the chunk trajectory is post-
+processed like PPO's GAE pass — window sums Rₜ⁽ⁿ⁾ = Σⱼ γʲ rₜ₊ⱼ truncated at
+the first done, bootstrapping from sₜ₊ₙ with γⁿ — and the resulting windows
+are pushed instead of 1-step transitions. The last n−1 steps of each chunk
+have no full window and are dropped ((n−1)/T of the data; unbiased). With
+n_step=1 the pushed stream is bitwise-identical to the per-step push."""
 from __future__ import annotations
 
 from typing import Tuple
@@ -32,41 +39,73 @@ class DQNTrainer:
         ka, kv = jax.random.split(key)
         return self.agent.init(ka), self.vec.reset(kv)
 
-    def _push(self, astate: DQNState, pre_env, actions, rewards, out) -> DQNState:
+    def _collect(
+        self, astate: DQNState, vstate: VecState, key, n_steps: int,
+        random_policy: bool,
+    ):
+        """Scan T env steps, then push the trajectory's (n-step) windows."""
+        agent = self.agent
+
+        def body(carry, _):
+            astate, vs, k, stats = carry
+            k, ka = jax.random.split(k)
+            n_local = jax.tree.leaves(vs.env)[0].shape[0]
+            if random_policy:
+                actions = jax.random.randint(
+                    ka, (n_local,), 0, self.vec.env.n_actions
+                )
+            else:
+                actions = agent.act_explore(astate, vs.env, ka)
+            pre_env = vs.env
+            vs, out = self.vec.step(vs, actions)
+            astate = astate.replace(step=astate.step + n_local)
+            data = (
+                pre_env,
+                actions,
+                reward_source(out, self.cheat),
+                out.pre_reset_env,
+                out.done,
+            )
+            return (astate, vs, k, stats.accumulate(out)), data
+
+        (astate, vstate, key, stats), traj = jax.lax.scan(
+            body, (astate, vstate, key, ChunkStats.zero()), None, length=n_steps
+        )
+        astate = astate.replace(buffer=self._push_traj(astate.buffer, traj))
+        return astate, vstate, key, stats
+
+    def _push_traj(self, buffer, traj):
+        states, actions, rewards, next_states, dones = traj
+        n = self.agent.n_step
+        t_total = actions.shape[0]
+        assert n <= t_total, f"n_step={n} exceeds chunk length {t_total}"
+        t_out = t_total - n + 1
+        # Window sums, truncated at the first done (auto-reset means rewards
+        # past a done belong to the NEXT episode and must not leak in).
+        ret = jnp.zeros_like(rewards[:t_out])
+        alive = jnp.ones_like(rewards[:t_out])
+        for j in range(n):  # static tiny n — unrolled
+            ret = ret + (self.agent.discount ** j) * alive * rewards[j : j + t_out]
+            alive = alive * (1.0 - dones[j : j + t_out].astype(ret.dtype))
         batch = Transition(
-            state=pre_env,
-            action=actions,
-            reward=rewards,
-            next_state=out.pre_reset_env,
-            done=out.done,
+            state=jax.tree.map(lambda x: _flat(x, t_out), states),
+            action=_flat(actions, t_out),
+            reward=_flat(ret, t_out),
+            # sₜ₊ₙ = the n-1'th step's successor; when a done cut the window
+            # the bootstrap is masked by done anyway.
+            next_state=jax.tree.map(
+                lambda x: _flat(x[n - 1 :], t_out), next_states
+            ),
+            done=_flat(alive == 0.0, t_out),
         )
-        return astate.replace(
-            buffer=self.agent.push(astate.buffer, batch),
-            step=astate.step + actions.shape[0],
-        )
+        return self.agent.push(buffer, batch)
 
     def warmup_chunk(
         self, astate: DQNState, vstate: VecState, key, n_steps: int
     ) -> Tuple[DQNState, VecState, ChunkStats]:
         """Random-policy buffer fill (reference dqn_warmup)."""
-
-        def body(carry, _):
-            astate, vs, k, stats = carry
-            k, ka = jax.random.split(k)
-            # Local env count (N/D under shard_map), not the global n_envs.
-            n_local = jax.tree.leaves(vs.env)[0].shape[0]
-            actions = jax.random.randint(
-                ka, (n_local,), 0, self.vec.env.n_actions
-            )
-            pre_env = vs.env
-            vs, out = self.vec.step(vs, actions)
-            astate = self._push(
-                astate, pre_env, actions, reward_source(out, self.cheat), out
-            )
-            return (astate, vs, k, stats.accumulate(out)), None
-
-        (astate, vstate, _, stats), _ = jax.lax.scan(
-            body, (astate, vstate, key, ChunkStats.zero()), None, length=n_steps
+        astate, vstate, _, stats = self._collect(
+            astate, vstate, key, n_steps, random_policy=True
         )
         return astate, vstate, stats
 
@@ -79,21 +118,8 @@ class DQNTrainer:
         axis_name: str | None = None,
     ) -> Tuple[DQNState, VecState, ChunkStats, jnp.ndarray]:
         """T env steps (collect) then U gradient updates (learn)."""
-        agent = self.agent
-
-        def collect(carry, _):
-            astate, vs, k, stats = carry
-            k, ka = jax.random.split(k)
-            actions = agent.act_explore(astate, vs.env, ka)
-            pre_env = vs.env
-            vs, out = self.vec.step(vs, actions)
-            astate = self._push(
-                astate, pre_env, actions, reward_source(out, self.cheat), out
-            )
-            return (astate, vs, k, stats.accumulate(out)), None
-
-        (astate, vstate, key, stats), _ = jax.lax.scan(
-            collect, (astate, vstate, key, ChunkStats.zero()), None, length=n_steps
+        astate, vstate, key, stats = self._collect(
+            astate, vstate, key, n_steps, random_policy=False
         )
 
         n_updates = self.updates_per_chunk or n_steps
@@ -101,7 +127,7 @@ class DQNTrainer:
         def update(carry, _):
             astate, k = carry
             k, ku = jax.random.split(k)
-            astate, loss = agent.update(astate, ku, axis_name=axis_name)
+            astate, loss = self.agent.update(astate, ku, axis_name=axis_name)
             return (astate, k), loss
 
         (astate, _), losses = jax.lax.scan(
@@ -111,3 +137,10 @@ class DQNTrainer:
 
     def eval_chunk(self, astate, vstate, key, n_steps):
         return eval_chunk(self.vec, self.agent.act, astate, vstate, key, n_steps)
+
+
+def _flat(x, t_out):
+    """[T, N, ...] → [t_out*N, ...] taking the first t_out steps, time-major
+    (matches the per-step push order exactly when n_step == 1)."""
+    x = x[:t_out]
+    return x.reshape((-1,) + x.shape[2:])

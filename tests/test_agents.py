@@ -282,3 +282,97 @@ def test_prioritized_dqn_learns_sokoban():
             _, es = echunk(astate, jreset(jax.random.PRNGKey(7)), k, 60)
             best = max(best, stats_to_host(es)["mean_return"])
     assert best >= 40.0, f"PER DQN best eval {best}"
+
+
+# ---- n-step returns --------------------------------------------------------
+
+def test_nstep_window_math():
+    """Hand-computed 3-step windows over a trajectory with a mid-window done:
+    rewards truncate at the first done (auto-reset leak guard), the done flag
+    marks the window, and the bootstrap state is s_{t+n}."""
+    env = make_env("shift")
+    agent = DQNAgent(env, discount=0.5, n_step=3, replay_capacity=16)
+    vec = VecEnv(env, 1)
+    trainer = DQNTrainer(agent, vec)
+    astate = agent.init(jax.random.PRNGKey(0))
+
+    # Synthetic [T=5, N=1] trajectory; states are real env states so the
+    # buffer shapes match (content is irrelevant to the window math).
+    s = jax.vmap(env.reset)(jax.random.split(jax.random.PRNGKey(1), 5))
+    states = jax.tree.map(lambda x: x[:, None], s)
+    rewards = jnp.array([[1.0], [2.0], [3.0], [4.0], [5.0]])
+    dones = jnp.array([[False], [False], [True], [False], [False]])
+    actions = jnp.zeros((5, 1), jnp.int32)
+    buf = trainer._push_traj(
+        astate.buffer, (states, actions, rewards, states, dones)
+    )
+    assert int(buf.size) == 3  # T - n + 1 windows
+    got_r = np.asarray(buf.storage.reward[:3])
+    got_d = np.asarray(buf.storage.done[:3])
+    # t=0: 1 + .5*2 + .25*3 (done step's reward included) → done
+    # t=1: 2 + .5*3, truncated → done;  t=2: 3, terminal step → done
+    assert np.allclose(got_r, [2.75, 3.5, 3.0]), got_r
+    assert got_d.all(), got_d
+    # Window t's bootstrap state is next_states[t+2] (here: states row t+2).
+    want = np.asarray(jax.tree.leaves(s)[0][2:5])
+    got = np.asarray(jax.tree.leaves(buf.storage.next_state)[0][:3])
+    assert np.array_equal(got, want), (got, want)
+
+
+def test_nstep_no_done_pays_gamma_n():
+    """Without dones: R = Σ γ^j r, window not done, and td_components
+    bootstraps with γ^n."""
+    env = make_env("shift")
+    agent = DQNAgent(env, discount=0.5, n_step=2, replay_capacity=16)
+    vec = VecEnv(env, 1)
+    trainer = DQNTrainer(agent, vec)
+    astate = agent.init(jax.random.PRNGKey(0))
+    s = jax.vmap(env.reset)(jax.random.split(jax.random.PRNGKey(1), 3))
+    states = jax.tree.map(lambda x: x[:, None], s)
+    rewards = jnp.array([[1.0], [2.0], [4.0]])
+    dones = jnp.zeros((3, 1), bool)
+    actions = jnp.zeros((3, 1), jnp.int32)
+    buf = trainer._push_traj(
+        astate.buffer, (states, actions, rewards, states, dones)
+    )
+    assert np.allclose(np.asarray(buf.storage.reward[:2]), [2.0, 4.0])
+    assert not np.asarray(buf.storage.done[:2]).any()
+    batch = jax.tree.map(lambda x: x[:2], buf.storage)
+    _, td = agent.td_components(astate.params, astate.params, batch)
+    q = agent.q_values(astate.params, batch.state)
+    q_next = agent.q_values(astate.params, batch.next_state)
+    q_sa = np.asarray(q[np.arange(2), np.asarray(batch.action[:2])])
+    want = q_sa - (np.asarray(batch.reward[:2])
+                   + 0.25 * np.asarray(q_next.max(-1)))
+    assert np.allclose(np.asarray(td), want, atol=1e-6)
+
+
+def test_nstep_dqn_learns_sokoban():
+    env = make_env("sokoban")
+    vec = VecEnv(env, 128)
+    agent = DQNAgent(
+        env,
+        lr=5e-4,
+        epsilon_anneal_steps=60_000,
+        batch_size=128,
+        replay_capacity=50_000,
+        sync_every=100,
+        n_step=3,
+    )
+    trainer = DQNTrainer(agent, vec, updates_per_chunk=32)
+    astate, vstate = trainer.init(jax.random.PRNGKey(0))
+    astate, vstate, _ = jax.jit(trainer.warmup_chunk, static_argnums=3)(
+        astate, vstate, jax.random.PRNGKey(2), 40
+    )
+    chunk = jax.jit(trainer.train_chunk, static_argnums=3)
+    echunk = jax.jit(trainer.eval_chunk, static_argnums=3)
+    jreset = jax.jit(vec.reset)
+    key = jax.random.PRNGKey(1)
+    best = -1e9
+    for i in range(15):
+        key, k = jax.random.split(key)
+        astate, vstate, stats, loss = chunk(astate, vstate, k, 32)
+        if i >= 8:
+            _, es = echunk(astate, jreset(jax.random.PRNGKey(7)), k, 60)
+            best = max(best, stats_to_host(es)["mean_return"])
+    assert best >= 40.0, f"n-step DQN best eval {best}"
