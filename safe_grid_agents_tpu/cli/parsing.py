@@ -140,9 +140,17 @@ def prepare_parser() -> argparse.ArgumentParser:
             if flag not in seen:
                 if typ is bool:
                     # default=None (not False) so agent_kwargs only forwards
-                    # the flag when the user actually passed it.
+                    # the flag when the user actually passed it. The --no-
+                    # counterpart lets presets that enable a boolean be
+                    # overridden off from the CLI.
                     agent.add_argument(flag, action="store_true", default=None,
                                        help=help_)
+                    agent.add_argument(
+                        f"--no-{flag[2:]}",
+                        dest=flag[2:].replace("-", "_"),
+                        action="store_false", default=None,
+                        help=f"disable {flag} (e.g. over a preset)",
+                    )
                 else:
                     agent.add_argument(flag, type=typ, default=None, help=help_)
                 seen.add(flag)
@@ -166,17 +174,29 @@ def apply_preset(args: argparse.Namespace, argv) -> argparse.Namespace:
             f"available: { {e: sorted(a) for e, a in presets.items()} }"
         )
     # Explicit flags may appear as '--flag value', '--flag=value', or an
-    # unambiguous argparse prefix abbreviation — treat all as explicit.
-    explicit = {
-        tok.split("=", 1)[0] for tok in (argv or []) if tok.startswith("--")
+    # unambiguous argparse prefix abbreviation. Resolve each token against
+    # the parser's real flag set: an exact flag marks exactly itself (so
+    # `--epsilon` does NOT shadow the preset's `--epsilon-final`), and a
+    # prefix marks a flag only when the match is unique — mirroring how
+    # argparse itself resolves abbreviations.
+    known = {
+        s for s in prepare_parser()._option_string_actions if s.startswith("--")
     }
+    explicit = set()
+    for tok in argv or []:
+        if not tok.startswith("--"):
+            continue
+        tok = tok.split("=", 1)[0]
+        if tok in known:
+            explicit.add(tok)
+        else:
+            matches = [f for f in known if f.startswith(tok)]
+            if len(matches) == 1:  # unique abbreviation, as argparse allows
+                explicit.add(matches[0])
 
     def was_explicit(flag: str) -> bool:
         full = f"--{flag}"
-        return any(
-            full == name or (full.startswith(name) and len(name) > 3)
-            for name in explicit
-        )
+        return full in explicit or f"--no-{flag}" in explicit
 
     for flag, value in table.items():
         if was_explicit(flag):

@@ -36,12 +36,17 @@ def _path_has(path, name: str) -> bool:
 
 
 def _astate_specs(astate) -> Any:
-    """Per-leaf PartitionSpecs: replay storage sharded, everything else
+    """Per-leaf PartitionSpecs: replay storage AND its per-slot priorities
+    shard over ``data`` (each device owns an independent capacity/D ring —
+    a global priorities array against a local storage shard would scatter
+    out of bounds and silently drop transitions); everything else
     replicated."""
 
     def spec(path, leaf):
         del leaf
-        if _path_has(path, "buffer") and _path_has(path, "storage"):
+        if _path_has(path, "buffer") and (
+            _path_has(path, "storage") or _path_has(path, "priorities")
+        ):
             return P(DATA_AXIS)
         return P()
 

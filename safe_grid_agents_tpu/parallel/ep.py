@@ -33,11 +33,9 @@ EXPERT_AXIS = "expert"
 
 
 def make_ep_mesh(n_experts: int, devices=None) -> Mesh:
-    import numpy as np
+    from .mesh import make_1d_mesh
 
-    devices = list(devices if devices is not None else jax.devices())
-    assert len(devices) >= n_experts, f"{len(devices)} devices < {n_experts}"
-    return Mesh(np.array(devices[:n_experts]), (EXPERT_AXIS,))
+    return make_1d_mesh(EXPERT_AXIS, n_experts, devices)
 
 
 def init_moe_params(key, n_experts: int, d_model: int, d_hidden: int):

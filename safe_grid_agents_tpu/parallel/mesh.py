@@ -34,6 +34,14 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_1d_mesh(axis_name: str, n: int, devices=None) -> Mesh:
+    """Single-axis mesh over the first ``n`` devices (used by the pp/ep/sp
+    parallelism demos for their ``stage``/``expert``/``seq`` axes)."""
+    devices = list(devices if devices is not None else jax.devices())
+    assert len(devices) >= n, f"{len(devices)} devices < {n} for '{axis_name}'"
+    return Mesh(np.array(devices[:n]), (axis_name,))
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis sharding over the data axis (env instances)."""
     return NamedSharding(mesh, PartitionSpec(DATA_AXIS))

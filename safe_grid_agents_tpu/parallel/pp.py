@@ -35,11 +35,9 @@ STAGE_AXIS = "stage"
 
 
 def make_pp_mesh(n_stages: int, devices=None) -> Mesh:
-    import numpy as np
+    from .mesh import make_1d_mesh
 
-    devices = list(devices if devices is not None else jax.devices())
-    assert len(devices) >= n_stages, f"{len(devices)} devices < {n_stages} stages"
-    return Mesh(np.array(devices[:n_stages]), (STAGE_AXIS,))
+    return make_1d_mesh(STAGE_AXIS, n_stages, devices)
 
 
 def init_pp_params(key, n_stages: int, d_model: int, layers_per_stage: int = 1):

@@ -33,11 +33,9 @@ SEQ_AXIS = "seq"
 
 
 def make_sp_mesh(n_shards: int, devices=None) -> Mesh:
-    import numpy as np
+    from .mesh import make_1d_mesh
 
-    devices = list(devices if devices is not None else jax.devices())
-    assert len(devices) >= n_shards, f"{len(devices)} devices < {n_shards}"
-    return Mesh(np.array(devices[:n_shards]), (SEQ_AXIS,))
+    return make_1d_mesh(SEQ_AXIS, n_shards, devices)
 
 
 def full_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):

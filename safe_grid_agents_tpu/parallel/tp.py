@@ -66,7 +66,7 @@ def _leaf_spec(path, specs: dict) -> P:
     names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
     if len(names) >= 2 and (names[-2], names[-1]) in specs:
         return specs[(names[-2], names[-1])]
-    if "buffer" in names and "storage" in names:
+    if "buffer" in names and ("storage" in names or "priorities" in names):
         return P(DATA_AXIS)
     return P()
 

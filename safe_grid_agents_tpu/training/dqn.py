@@ -43,8 +43,11 @@ class DQNTrainer:
         self, astate: DQNState, vstate: VecState, key, n_steps: int,
         random_policy: bool,
     ):
-        """Scan T env steps, then push the trajectory's (n-step) windows."""
+        """Scan T env steps; n_step == 1 streams per-step pushes into the
+        ring (no trajectory buffer), n_step > 1 stacks the chunk and pushes
+        its windows once (the stacking is the price of lookahead)."""
         agent = self.agent
+        streaming = agent.n_step == 1
 
         def body(carry, _):
             astate, vs, k, stats = carry
@@ -66,12 +69,18 @@ class DQNTrainer:
                 out.pre_reset_env,
                 out.done,
             )
+            if streaming:
+                astate = astate.replace(
+                    buffer=agent.push(astate.buffer, Transition(*data))
+                )
+                data = None
             return (astate, vs, k, stats.accumulate(out)), data
 
         (astate, vstate, key, stats), traj = jax.lax.scan(
             body, (astate, vstate, key, ChunkStats.zero()), None, length=n_steps
         )
-        astate = astate.replace(buffer=self._push_traj(astate.buffer, traj))
+        if not streaming:
+            astate = astate.replace(buffer=self._push_traj(astate.buffer, traj))
         return astate, vstate, key, stats
 
     def _push_traj(self, buffer, traj):

@@ -35,17 +35,28 @@ def capacity_of(buf: BufferState) -> int:
     return jax.tree.leaves(buf.storage)[0].shape[0]
 
 
-def push_batch(buf: BufferState, batch: Any) -> BufferState:
-    """Write a batch (leading dim N) at rolling positions. N ≤ capacity."""
+def _ring_positions(batch: Any, idx, cap: int):
+    """(batch', positions, advance): ring-write plan for a push of N.
+
+    When N exceeds the (local) capacity the oldest N−cap entries of the push
+    can never survive the wrap — drop them statically so the scatter has
+    distinct positions. Position mapping matches per-step pushes exactly:
+    transition t of the push lands at (idx + t) % cap."""
     n = jax.tree.leaves(batch)[0].shape[0]
+    if n > cap:
+        skip = n - cap
+        batch = jax.tree.map(lambda b: b[skip:], batch)
+        pos = (idx + skip + jnp.arange(cap, dtype=jnp.int32)) % cap
+    else:
+        pos = (idx + jnp.arange(n, dtype=jnp.int32)) % cap
+    return batch, pos, n
+
+
+def push_batch(buf: BufferState, batch: Any) -> BufferState:
+    """Write a batch (leading dim N) at rolling positions; N may exceed the
+    capacity (the ring keeps the newest entries, as per-step pushes would)."""
     cap = capacity_of(buf)
-    # Shapes are static: enforce at trace time. A batch wider than the ring
-    # would scatter duplicate positions and silently drop transitions.
-    assert n <= cap, (
-        f"replay push of {n} transitions exceeds (local) capacity {cap}; "
-        f"raise --replay-capacity or lower --n-envs"
-    )
-    pos = (buf.idx + jnp.arange(n, dtype=jnp.int32)) % cap
+    batch, pos, n = _ring_positions(batch, buf.idx, cap)
     storage = jax.tree.map(lambda s, b: s.at[pos].set(b), buf.storage, batch)
     return BufferState(
         storage=storage,
@@ -95,10 +106,8 @@ def push_batch_prioritized(
     buf: PrioritizedBufferState, batch: Any
 ) -> PrioritizedBufferState:
     """Ring write; entries arrive at max-seen priority (1 when empty)."""
-    n = jax.tree.leaves(batch)[0].shape[0]
     cap = buf.priorities.shape[0]
-    assert n <= cap, f"push of {n} exceeds capacity {cap}"
-    pos = (buf.idx + jnp.arange(n, dtype=jnp.int32)) % cap
+    batch, pos, n = _ring_positions(batch, buf.idx, cap)
     storage = jax.tree.map(lambda s, b: s.at[pos].set(b), buf.storage, batch)
     p_new = jnp.maximum(buf.priorities.max(), 1.0)
     return PrioritizedBufferState(
@@ -152,5 +161,8 @@ def update_priorities(
       and the Q-net drifts on them — a converged policy visibly
       destabilizes (45 → −100 eval oscillation). ε=0.05 keeps refresh
       traffic on everything while still focusing 20× on the frontier."""
+    # Sampling is with replacement, so idxs may repeat — but duplicates of
+    # one slot carry the same transition and params, hence identical |δ|,
+    # so the duplicate scatter writes equal values (deterministic).
     p = jnp.minimum(jnp.abs(td_errors), clip) + eps * clip
     return buf.replace(priorities=buf.priorities.at[idxs].set(p))

@@ -376,3 +376,21 @@ def test_nstep_dqn_learns_sokoban():
             _, es = echunk(astate, jreset(jax.random.PRNGKey(7)), k, 60)
             best = max(best, stats_to_host(es)["mean_return"])
     assert best >= 40.0, f"n-step DQN best eval {best}"
+
+
+def test_replay_push_wider_than_capacity_keeps_newest():
+    """A single push larger than the ring keeps exactly the newest entries
+    with the same position mapping per-step pushes would produce."""
+    buf = replay.init(4, {"x": jnp.float32(0.0)})
+    buf = replay.push_batch(buf, {"x": jnp.arange(2, dtype=jnp.float32)})
+    buf = replay.push_batch(buf, {"x": 10 + jnp.arange(7, dtype=jnp.float32)})
+    assert int(buf.size) == 4 and int(buf.idx) == (2 + 7) % 4
+    # Newest 4 of the second push are 13..16; transition t lands at
+    # (idx0 + t) % cap → 13→(2+3)%4=1, 14→2, 15→3, 16→0.
+    np.testing.assert_array_equal(np.asarray(buf.storage["x"]), [16, 13, 14, 15])
+    pbuf = replay.init_prioritized(4, {"x": jnp.float32(0.0)})
+    pbuf = replay.push_batch_prioritized(
+        pbuf, {"x": jnp.arange(6, dtype=jnp.float32)}
+    )
+    np.testing.assert_array_equal(np.asarray(pbuf.storage["x"]), [4, 5, 2, 3])
+    assert (np.asarray(pbuf.priorities) == 1.0).all()

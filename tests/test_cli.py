@@ -161,3 +161,32 @@ def test_restore_latest_valid_skips_corrupt(tmp_path):
     )
     assert step == 1
     np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(4))
+
+
+def test_preset_not_shadowed_by_flag_prefix():
+    """--epsilon must mark ONLY --epsilon as explicit: the island deep-q
+    preset's epsilon-final / epsilon-anneal-steps still apply."""
+    from safe_grid_agents_tpu.cli.parsing import apply_preset, prepare_parser
+
+    argv = ["island", "deep-q", "--preset", "--epsilon", "0.5"]
+    args = prepare_parser().parse_args(argv)
+    args = apply_preset(args, argv)
+    assert args.epsilon == 0.5                      # user's explicit value
+    assert args.epsilon_final == 0.1                # from the preset
+    assert args.epsilon_anneal_steps == 2400000     # from the preset
+
+
+def test_no_flag_overrides_preset_bool():
+    """--no-double-q turns off a preset-enabled boolean."""
+    from safe_grid_agents_tpu.cli.parsing import (
+        agent_kwargs, apply_preset, prepare_parser,
+    )
+
+    argv = ["island", "deep-q", "--preset", "--no-double-q"]
+    args = prepare_parser().parse_args(argv)
+    args = apply_preset(args, argv)
+    assert args.double_q is False
+    assert agent_kwargs(args)["double_q"] is False
+    argv = ["island", "deep-q", "--preset"]
+    args = apply_preset(prepare_parser().parse_args(argv), argv)
+    assert args.double_q is True

@@ -163,3 +163,41 @@ def test_model_axis_tensor_parallel_expressible():
     np.testing.assert_allclose(
         np.asarray(y), np.maximum(np.asarray(x) @ np.asarray(w), 0), rtol=2e-4, atol=1e-4
     )
+
+
+def test_prioritized_dqn_dp_sharded_priorities(mesh):
+    """PER under DP: the priorities array must shard over 'data' alongside
+    its storage (a replicated global priorities array against local storage
+    shards scatters out of bounds and silently drops transitions)."""
+    env = make_env("sokoban")
+    vec = VecEnv(env, 64)
+    tr = DPTrainer(
+        DQNTrainer(
+            DQNAgent(env, replay_capacity=4096, batch_size=64,
+                     prioritized=True, double_q=True),
+            vec,
+            updates_per_chunk=4,
+        ),
+        mesh,
+    )
+    astate, vstate = tr.init(jax.random.PRNGKey(0))
+    from safe_grid_agents_tpu.parallel import DATA_AXIS
+
+    assert DATA_AXIS in str(astate.buffer.priorities.sharding.spec)
+    key = jax.random.PRNGKey(1)
+    astate, vstate, _ = jax.jit(tr.warmup_chunk, static_argnums=3)(
+        astate, vstate, key, 16
+    )
+    # 16 steps × 8 local envs per device fill 128 slots of each local ring;
+    # every filled slot must carry the push-time max priority (1.0), every
+    # other slot must still be invalid (0) — on EVERY device's shard.
+    prios = np.asarray(astate.buffer.priorities).reshape(8, -1)
+    assert prios.shape[1] == 4096 // 8
+    assert (prios[:, :128] >= 1.0).all()
+    assert (prios[:, 128:] == 0.0).all()
+    astate, vstate, stats, loss = jax.jit(tr.train_chunk, static_argnums=3)(
+        astate, vstate, key, 16
+    )
+    assert np.isfinite(float(loss))
+    prios = np.asarray(astate.buffer.priorities).reshape(8, -1)
+    assert (prios[:, 256:] == 0.0).all(), "scatter leaked past local rings"
