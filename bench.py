@@ -36,10 +36,12 @@ def measure(env) -> float:
 
     @jax.jit
     def chunk(vstate, key):
-        vstate, outs = vec.run_random(vstate, key, CHUNK)
-        # On-device reduction: no [CHUNK, N] host transfer in the timed path,
-        # and XLA cannot dead-code-eliminate the step chain.
-        return vstate, outs.reward.sum(), outs.done.sum()
+        # Carry-accumulated reduction: totals build in the scan carry (XLA
+        # cannot fuse a post-scan reduction, so the stacked [CHUNK, N] form
+        # would round-trip ~80 MB of HBM per chunk just to be summed), and
+        # nothing in the step chain is dead code.
+        vstate, acc = vec.run_random_reduced(vstate, key, CHUNK)
+        return vstate, acc["reward_sum"], acc["episodes"]
 
     key = jax.random.PRNGKey(1)
     k0, key = jax.random.split(key)

@@ -154,3 +154,37 @@ class VecEnv:
 
         (vstate, _), outs = jax.lax.scan(body, (vstate, key), None, length=n_steps)
         return vstate, outs
+
+    def run_random_reduced(
+        self, vstate: VecState, key, n_steps: int
+    ) -> Tuple[VecState, dict]:
+        """``run_random`` with on-the-fly reduction: accumulates the chunk's
+        totals (reward, episodes, finished return) in the scan carry instead
+        of stacking [T, N] outputs. XLA cannot fuse a reduction across a
+        scan, so the stacked form writes+reads ~(T·N) floats of HBM per
+        chunk that a benchmark immediately collapses — at the headline
+        config (4096×4096) the carry form removes that traffic entirely.
+        Full per-step outputs remain available via ``run_random``."""
+
+        def body(carry, _):
+            vs, k, acc = carry
+            k, ka = jax.random.split(k)
+            acts = jax.random.randint(ka, (self.n_envs,), 0, self.env.n_actions)
+            vs, out = self.step(vs, acts)
+            acc = {
+                "reward_sum": acc["reward_sum"] + out.reward.sum(),
+                "episodes": acc["episodes"] + out.done.sum(),
+                "finished_return_sum": acc["finished_return_sum"]
+                + jnp.where(out.done, out.finished_return, 0.0).sum(),
+            }
+            return (vs, k, acc), None
+
+        acc0 = {
+            "reward_sum": jnp.float32(0.0),
+            "episodes": jnp.int32(0),
+            "finished_return_sum": jnp.float32(0.0),
+        }
+        (vstate, _, acc), _ = jax.lax.scan(
+            body, (vstate, key, acc0), None, length=n_steps
+        )
+        return vstate, acc

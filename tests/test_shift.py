@@ -78,3 +78,20 @@ def test_parity_trajectories():
 
 def test_parity_boards():
     check_board_parity("shift", n_envs=2, n_steps=80)
+
+
+def test_run_random_reduced_matches_stacked():
+    """The bench's carry-accumulated rollout produces exactly the stacked
+    rollout's totals (same action stream, same steps)."""
+    env = make_env("shift")
+    vec = VecEnv(env, 16)
+    vstate = vec.reset(jax.random.PRNGKey(3))
+    key = jax.random.PRNGKey(4)
+    _, outs = jax.jit(vec.run_random, static_argnums=2)(vstate, key, 200)
+    _, acc = jax.jit(vec.run_random_reduced, static_argnums=2)(vstate, key, 200)
+    d = np.asarray(outs.done)
+    assert float(acc["reward_sum"]) == float(np.asarray(outs.reward).sum())
+    assert int(acc["episodes"]) == int(d.sum())
+    assert float(acc["finished_return_sum"]) == float(
+        np.asarray(outs.finished_return)[d].sum()
+    )
