@@ -4,17 +4,32 @@ BASELINE.md target: >= 5,000,000 env-steps/s/chip at 4096 lockstep instances
 of distributional_shift under jit (north-star config 2). Prints exactly ONE
 JSON line on stdout for the driver; secondary numbers go to stderr.
 
-Two engines are measured (both bitwise-parity-tested against the oracle):
+Three engines are measured (all bitwise-parity-tested against the oracle):
   * base     — masked-arithmetic array engine (envs/distributional_shift.py)
-  * compiled — lookup-table engine (envs/compiled.py): the whole env baked
-               into [S, A] gather tables at build time; headline number.
+  * compiled — lookup-table engine (envs/compiled.py): gather pipeline
+  * mxu      — fused one-hot-matmul rollout over the compiled tables
+               (envs/mxu.py): the headline engine
 
-Method: one jitted lax.scan of CHUNK full engine steps (uniform action draw,
-transition, auto-reset, episode accounting) over 4096 instances; after a
-compile+warmup pass, chunks are timed until >= MIN_SECONDS of measured work
-with block_until_ready fencing.
+Methodology — hardened twice after round 1:
+  1. FENCING. On the axon platform ``jax.block_until_ready`` is an async
+     acknowledgement, NOT a completion fence — round 1's numbers measured
+     the enqueue rate (~0.37 ms/dispatch regardless of 256x work changes)
+     and overstated real throughput by up to 1000x. Every timed dispatch
+     here ends in a scalar ``device_get`` (float()), which cannot return
+     before the device produced the value.
+  2. WINDOWS. Per engine: compile + warmup dispatches, then N_WINDOWS
+     independent windows of >= WINDOW_SECONDS of fenced work; the statistic
+     is the MEDIAN window. If windows spread more than MAX_SPREAD the round
+     is considered contended and re-measured (up to MAX_ROUNDS); the
+     reported value is the best round's median (contention only lowers
+     throughput, so the highest stable median is the steady state).
+  3. The tunnel round-trip is ~29 ms; chunk sizes are set so one dispatch
+     is >= 100 ms of device work. Do not run another TPU process
+     concurrently (single chip — contention is detected, not avoided).
 """
 import json
+import os
+import statistics
 import sys
 import time
 
@@ -22,58 +37,143 @@ import jax
 
 from safe_grid_agents_tpu.envs import make_env
 from safe_grid_agents_tpu.envs.compiled import compile_env
+from safe_grid_agents_tpu.envs.mxu import MXUVecEnv
 from safe_grid_agents_tpu.envs.vec import VecEnv
 
 N_ENVS = 4096
-CHUNK = 4096          # env steps per device call
-MIN_SECONDS = 0.5
+WINDOW_SECONDS = 1.0  # minimum fenced device work per window
+N_WINDOWS = 3
+MAX_ROUNDS = 3
+MAX_SPREAD = 0.25     # (max/min - 1) within a round before we call it contended
 TARGET = 5_000_000.0  # steps/s/chip from BASELINE.json north star
 
 
-def measure(env) -> float:
-    vec = VecEnv(env, N_ENVS)
-    vstate = vec.reset(jax.random.PRNGKey(0))
+def _warn_if_contended():
+    """Best-effort check for other live TPU-using processes from this repo."""
 
-    @jax.jit
-    def chunk(vstate, key):
-        # Carry-accumulated reduction: totals build in the scan carry (XLA
-        # cannot fuse a post-scan reduction, so the stacked [CHUNK, N] form
-        # would round-trip ~80 MB of HBM per chunk just to be summed), and
-        # nothing in the step chain is dead code.
-        vstate, acc = vec.run_random_reduced(vstate, key, CHUNK)
-        return vstate, acc["reward_sum"], acc["episodes"]
+    def _ancestors(pid: int) -> set:
+        out = set()
+        while pid > 1:
+            out.add(pid)
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    pid = int(f.read().rsplit(")", 1)[1].split()[1])
+            except (OSError, IndexError, ValueError):
+                break
+        return out
+
+    try:
+        skip = _ancestors(os.getpid())
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) in skip:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().decode(errors="replace").replace("\0", " ")
+            except OSError:
+                continue
+            if "python" in cmd and any(
+                s in cmd for s in ("bench", "safe_grid_agents_tpu", "tools/suite", "tools/fuzz")
+            ):
+                print(
+                    f"WARNING: possible concurrent TPU process pid={pid}: {cmd.strip()}"
+                    " — single chip; expect contended (low) readings.",
+                    file=sys.stderr,
+                )
+    except OSError:
+        pass
+
+
+def _measure_fn(step_chunk, steps_per_chunk: int, label: str) -> float:
+    """step_chunk(state, key) -> (state, scalar); returns median steps/s."""
+    import functools
 
     key = jax.random.PRNGKey(1)
-    k0, key = jax.random.split(key)
-    vstate, r, _ = chunk(vstate, k0)
-    jax.block_until_ready(r)
+    state = None
+    # Compile + warm the tunnel; every call fenced by a real host transfer.
+    for _ in range(2):
+        k0, key = jax.random.split(key)
+        state, scalar = step_chunk(state, k0)
+        float(scalar)
 
-    # Best of 3 measurement windows: the tunneled chip shows run-to-run
-    # variance from host-side scheduling; max-of-windows is the steady-state
-    # device throughput.
-    best = 0.0
-    for _ in range(3):
-        total = 0
-        t0 = time.perf_counter()
-        while True:
-            k, key = jax.random.split(key)
-            vstate, r, _ = chunk(vstate, k)
-            total += CHUNK * N_ENVS
-            jax.block_until_ready(r)
-            dt = time.perf_counter() - t0
-            if dt >= MIN_SECONDS:
-                break
-        best = max(best, total / dt)
-    return best
+    best_median = 0.0
+    for rnd in range(MAX_ROUNDS):
+        windows = []
+        for _ in range(N_WINDOWS):
+            total = 0
+            t0 = time.perf_counter()
+            while True:
+                k, key = jax.random.split(key)
+                state, scalar = step_chunk(state, k)
+                float(scalar)  # device_get: the only real fence on axon
+                total += steps_per_chunk
+                dt = time.perf_counter() - t0
+                if dt >= WINDOW_SECONDS:
+                    break
+            windows.append(total / dt)
+        med = statistics.median(windows)
+        spread = max(windows) / min(windows) - 1.0
+        print(
+            f"{label} round {rnd}: median {med/1e6:.1f} M  "
+            f"[{min(windows)/1e6:.1f}, {max(windows)/1e6:.1f}] M  "
+            f"spread {spread*100:.0f}%",
+            file=sys.stderr,
+        )
+        best_median = max(best_median, med)
+        if spread <= MAX_SPREAD:
+            break
+        print(f"{label}: window spread > {MAX_SPREAD*100:.0f}% — re-measuring "
+              "(tunnel/host contention suspected)", file=sys.stderr)
+    return best_median
+
+
+def measure_vecenv(env, label: str, chunk: int) -> float:
+    vec = VecEnv(env, N_ENVS)
+    vstate0 = vec.reset(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def chunk_fn(vstate, key):
+        # Carry-accumulated reduction: totals build in the scan carry (the
+        # stacked [CHUNK, N] form would round-trip the outputs through HBM
+        # just to be summed); nothing in the step chain is dead code.
+        vstate, acc = vec.run_random_reduced(vstate, key, chunk)
+        return vstate, acc["reward_sum"]
+
+    def step(state, key):
+        return chunk_fn(vstate0 if state is None else state, key)
+
+    return _measure_fn(step, chunk * N_ENVS, label)
+
+
+def measure_mxu(cenv, label: str, chunk: int) -> float:
+    mxu = MXUVecEnv(cenv, N_ENVS)
+    mstate0 = mxu.reset(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def chunk_fn(mstate, key):
+        mstate, acc = mxu.run_random_reduced(mstate, key, chunk)
+        return mstate, acc["reward_sum"]
+
+    def step(state, key):
+        return chunk_fn(mstate0 if state is None else state, key)
+
+    return _measure_fn(step, chunk * N_ENVS, label)
 
 
 def main():
-    base_rate = measure(make_env("shift"))
-    print(f"base engine:     {base_rate/1e9:.2f} B env-steps/s", file=sys.stderr)
-    compiled_rate = measure(compile_env(make_env("shift")))
-    print(f"compiled engine: {compiled_rate/1e9:.2f} B env-steps/s", file=sys.stderr)
+    _warn_if_contended()
+    cenv = compile_env(make_env("shift"))
 
-    best = max(base_rate, compiled_rate)
+    # Real per-chunk rates (device_get-fenced): base ~23 M, compiled ~32 M,
+    # mxu ~400-700 M steps/s — chunks sized for >= 100 ms dispatches.
+    base_rate = measure_vecenv(make_env("shift"), "base", 4096)
+    print(f"base engine:     {base_rate/1e6:.1f} M env-steps/s", file=sys.stderr)
+    compiled_rate = measure_vecenv(cenv, "compiled", 4096)
+    print(f"compiled engine: {compiled_rate/1e6:.1f} M env-steps/s", file=sys.stderr)
+    mxu_rate = measure_mxu(cenv, "mxu", 32768)
+    print(f"mxu engine:      {mxu_rate/1e6:.1f} M env-steps/s", file=sys.stderr)
+
+    best = max(base_rate, compiled_rate, mxu_rate)
     print(
         json.dumps(
             {

@@ -1,0 +1,188 @@
+"""MXU fused rollout: compiled-env stepping as one-hot matmuls.
+
+Round-2 finding (PERF.md "measurement notes"): on the axon platform a single
+4096-lane gather costs ~23 us of real device time, while a one-hot [N, S]
+matmul against the packed payload table costs ~3 us — the MXU path is the
+true speed-of-light step for table-compiled envs, inverting round 1's
+(async-ack-corrupted) conclusion that gathers win.
+
+Design: for a :class:`~.compiled.CompiledEnv` whose reset is deterministic
+(same start state for every key — shift, island, sokoban, boat, conveyor,
+corners/way/toy), one env step over N lanes is
+
+    oh  = one_hot(idx, S)                      # [N, S]  VPU compare
+    y   = oh @ W                               # [N, A*F] MXU
+    f   = sum(y.reshape(N, A, F) * one_hot(a, A)[:, :, None], axis=1)
+
+where ``W`` packs the compiled tables column-blocked per action with fields
+F = (next_idx, reward, hidden_reward, done). Every output is EXACT: one-hot
+rows make each dot a plain table read (bf16 path used only when the whole
+payload is bf16-representable; otherwise f32 with Precision.HIGHEST), so the
+fused rollout is bitwise-identical to ``VecEnv`` over the same actions
+(tests/test_mxu.py).
+
+Scope: deterministic-step, deterministic-reset envs only (stochastic resets
+would need a key per auto-reset; whisky's action noise likewise). The
+generic ``VecEnv`` path remains the reference semantics for everything.
+
+Reference parity note: this module replaces the pycolab sprite step
+(SURVEY.md §2b "pycolab engine") on the benchmark path; behavior is pinned
+by the compiled tables, which are themselves parity-tested against the
+array engine and the NumPy oracle.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .compiled import CompiledEnv
+
+
+@struct.dataclass
+class MXUState:
+    idx: jnp.ndarray        # [N] i32 state index
+    t: jnp.ndarray          # [N] i32 episode step count
+    ep_return: jnp.ndarray  # [N] f32
+    ep_hidden: jnp.ndarray  # [N] f32
+    ep_len: jnp.ndarray     # [N] i32
+
+
+class MXUVecEnv:
+    """N lockstep instances of a compiled env, stepped via MXU matmuls.
+
+    Matches ``VecEnv`` field-for-field on (reward, hidden_reward, done,
+    finished_return, finished_hidden, finished_len) and on the final
+    (state_index, t) — the parity test drives both with one action matrix.
+    """
+
+    N_FIELDS = 4  # next_idx, reward, hidden, done
+
+    def __init__(self, cenv: CompiledEnv, n_envs: int):
+        if cenv._noisy:
+            raise ValueError(f"{cenv.name}: action noise needs per-step keys")
+        self.cenv = cenv
+        self.n_envs = n_envs
+        self.S, self.A = cenv.num_states, cenv.n_actions
+        self.max_steps = int(cenv.max_steps)
+
+        # Deterministic-reset gate: carry_reset from several reachable states
+        # under several keys must land on one index.
+        from .compiled import TableState
+
+        idxs = set()
+        probe_states = cenv.reachable[:: max(1, len(cenv.reachable) // 8)]
+        for si in probe_states:
+            st = TableState(idx=jnp.int32(int(si)), t=jnp.int32(0))
+            for k in range(4):
+                out = cenv.carry_reset(st, jax.random.PRNGKey(k))
+                idxs.add(int(out.idx))
+        for k in range(8):
+            idxs.add(int(cenv.reset(jax.random.PRNGKey(k)).idx))
+        if len(idxs) != 1:
+            raise ValueError(
+                f"{cenv.name}: stochastic reset ({sorted(idxs)}) — use VecEnv"
+            )
+        self.reset_idx = idxs.pop()
+
+        W = np.zeros((self.S, self.A * self.N_FIELDS), np.float32)
+        W[:, 0 :: self.N_FIELDS] = cenv.next_table.astype(np.float32)
+        W[:, 1 :: self.N_FIELDS] = cenv.reward_table
+        W[:, 2 :: self.N_FIELDS] = cenv.hidden_table
+        W[:, 3 :: self.N_FIELDS] = cenv.done_table.astype(np.float32)
+        bf = W.astype(jnp.bfloat16).astype(np.float32)
+        if np.array_equal(bf, W):
+            self._dtype = jnp.bfloat16
+            self._precision = jax.lax.Precision.DEFAULT
+        else:
+            self._dtype = jnp.float32
+            self._precision = jax.lax.Precision.HIGHEST
+        self._W = jnp.asarray(W, self._dtype)
+
+    # -- core --------------------------------------------------------------
+    def reset(self, key) -> MXUState:
+        del key  # deterministic reset (gated above)
+        n = self.n_envs
+        return MXUState(
+            idx=jnp.full((n,), self.reset_idx, jnp.int32),
+            t=jnp.zeros((n,), jnp.int32),
+            ep_return=jnp.zeros((n,), jnp.float32),
+            ep_hidden=jnp.zeros((n,), jnp.float32),
+            ep_len=jnp.zeros((n,), jnp.int32),
+        )
+
+    def _fields(self, idx, actions):
+        """One MXU step: exact (next_idx, reward, hidden, done) per lane."""
+        oh = jax.nn.one_hot(idx, self.S, dtype=self._dtype)
+        y = jax.lax.dot_general(
+            oh,
+            self._W,
+            (((1,), (0,)), ((), ())),
+            precision=self._precision,
+            preferred_element_type=jnp.float32,
+        ).reshape(-1, self.A, self.N_FIELDS)
+        a_oh = jax.nn.one_hot(actions, self.A, dtype=jnp.float32)
+        # VPU select (mul+sum of exact f32 values) keeps bitwise exactness.
+        f = (y * a_oh[:, :, None]).sum(axis=1)
+        nxt = f[:, 0].astype(jnp.int32)
+        done_env = f[:, 3] > 0.5
+        return nxt, f[:, 1], f[:, 2], done_env
+
+    def _step(self, state: MXUState, actions):
+        nxt, reward, hidden, done_env = self._fields(state.idx, actions)
+        t = state.t + 1
+        done = done_env | (t >= self.max_steps)
+        ep_return = state.ep_return + reward
+        ep_hidden = state.ep_hidden + hidden
+        ep_len = state.ep_len + 1
+        new = MXUState(
+            idx=jnp.where(done, self.reset_idx, nxt),
+            t=jnp.where(done, 0, t),
+            ep_return=jnp.where(done, 0.0, ep_return),
+            ep_hidden=jnp.where(done, 0.0, ep_hidden),
+            ep_len=jnp.where(done, 0, ep_len),
+        )
+        out = dict(
+            reward=reward,
+            hidden_reward=hidden,
+            done=done,
+            finished_return=ep_return,
+            finished_hidden=ep_hidden,
+            finished_len=ep_len,
+        )
+        return new, out
+
+    # -- public API (bench + parity) ----------------------------------------
+    def run_actions(self, state: MXUState, actions_tn) -> Tuple[MXUState, dict]:
+        """Scan a [T, N] action matrix; returns stacked per-step outputs."""
+        return jax.lax.scan(self._step, state, actions_tn)
+
+    def run_random_reduced(
+        self, state: MXUState, key, n_steps: int
+    ) -> Tuple[MXUState, dict]:
+        """Bench path: presampled uniform actions (one [T, N] randint — the
+        per-step split of ``VecEnv.run_random_reduced`` costs ~8 us/step of
+        real device time), with the chunk totals accumulated in the carry."""
+        actions = jax.random.randint(key, (n_steps, self.n_envs), 0, self.A)
+
+        def body(carry, a_row):
+            st, acc = carry
+            st, out = self._step(st, a_row)
+            acc = {
+                "reward_sum": acc["reward_sum"] + out["reward"].sum(),
+                "episodes": acc["episodes"] + out["done"].sum(),
+                "finished_return_sum": acc["finished_return_sum"]
+                + jnp.where(out["done"], out["finished_return"], 0.0).sum(),
+            }
+            return (st, acc), None
+
+        acc0 = {
+            "reward_sum": jnp.float32(0.0),
+            "episodes": jnp.int32(0),
+            "finished_return_sum": jnp.float32(0.0),
+        }
+        (state, acc), _ = jax.lax.scan(body, (state, acc0), actions)
+        return state, acc

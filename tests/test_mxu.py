@@ -1,0 +1,90 @@
+"""MXU fused rollout ≡ VecEnv over compiled envs, bitwise.
+
+Drives both engines with ONE presampled action matrix and asserts bitwise
+equality of every per-step output field and of the final state. This is the
+parity gate for the headline-bench engine (envs/mxu.py).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safe_grid_agents_tpu.envs import make_env
+from safe_grid_agents_tpu.envs.compiled import compile_env
+from safe_grid_agents_tpu.envs.mxu import MXUVecEnv
+from safe_grid_agents_tpu.envs.vec import VecEnv
+
+# Deterministic-step + deterministic-reset aliases (MXU-eligible).
+MXU_ALIASES = ["shift", "shift-test", "island", "sokoban", "boat",
+               "conveyor", "conveyor-sushi", "corners", "way", "toy"]
+
+
+@pytest.mark.parametrize("alias", MXU_ALIASES)
+def test_mxu_matches_vecenv(alias):
+    cenv = compile_env(make_env(alias))
+    n, T = 64, 300
+    vec = VecEnv(cenv, n)
+    mxu = MXUVecEnv(cenv, n)
+
+    key = jax.random.PRNGKey(7)
+    actions = jax.random.randint(key, (T, n), 0, cenv.n_actions)
+
+    vstate = vec.reset(jax.random.PRNGKey(0))
+    vstate, vout = jax.jit(vec.run_actions)(vstate, actions)
+
+    mstate = mxu.reset(jax.random.PRNGKey(0))
+    mstate, mout = jax.jit(mxu.run_actions)(mstate, actions)
+
+    for field in ("reward", "hidden_reward", "done",
+                  "finished_return", "finished_hidden", "finished_len"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(vout, field)), np.asarray(mout[field]),
+            err_msg=f"{alias}: {field} mismatch",
+        )
+    np.testing.assert_array_equal(
+        np.asarray(vec.state_index(vstate)), np.asarray(mstate.idx),
+        err_msg=f"{alias}: final state index",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vstate.env.t), np.asarray(mstate.t),
+        err_msg=f"{alias}: final t",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vstate.ep_return), np.asarray(mstate.ep_return))
+    np.testing.assert_array_equal(
+        np.asarray(vstate.ep_len), np.asarray(mstate.ep_len))
+
+
+def test_mxu_rejects_stochastic_reset():
+    cenv = compile_env(make_env("absent"))  # supervisor presence drawn at reset
+    with pytest.raises(ValueError, match="stochastic reset"):
+        MXUVecEnv(cenv, 8)
+
+
+def test_mxu_rejects_noisy_actions():
+    cenv = compile_env(make_env("whisky"))  # drunk action noise needs keys
+    with pytest.raises(ValueError, match="needs per-step keys"):
+        MXUVecEnv(cenv, 8)
+
+
+def test_mxu_reduced_acc_matches_run_actions():
+    """run_random_reduced totals == reduction of run_actions outputs on the
+    same presampled action matrix (same randint stream by construction)."""
+    cenv = compile_env(make_env("shift"))
+    n, T = 32, 200
+    mxu = MXUVecEnv(cenv, n)
+    key = jax.random.PRNGKey(3)
+
+    mstate = mxu.reset(jax.random.PRNGKey(0))
+    mstate2, acc = jax.jit(lambda s, k: mxu.run_random_reduced(s, k, T))(mstate, key)
+
+    actions = jax.random.randint(key, (T, n), 0, cenv.n_actions)
+    mstate3, mout = jax.jit(mxu.run_actions)(mstate, actions)
+
+    assert int(acc["episodes"]) == int(mout["done"].sum())
+    np.testing.assert_allclose(
+        float(acc["reward_sum"]), float(mout["reward"].sum()), rtol=1e-6)
+    fin = jnp.where(mout["done"], mout["finished_return"], 0.0).sum()
+    np.testing.assert_allclose(
+        float(acc["finished_return_sum"]), float(fin), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mstate2.idx), np.asarray(mstate3.idx))
