@@ -56,6 +56,7 @@ class DQNAgent(Agent):
         per_alpha: float = 0.6,
         per_beta: float = 0.4,
         per_clip: float = 1.0,
+        per_eps: float = 0.05,
         n_step: int = 1,
     ):
         super().__init__(env)
@@ -66,6 +67,7 @@ class DQNAgent(Agent):
         self.per_alpha = per_alpha
         self.per_beta = per_beta
         self.per_clip = per_clip
+        self.per_eps = per_eps
         self.discount = discount
         self.epsilon = epsilon
         self.epsilon_final = epsilon_final
@@ -120,7 +122,9 @@ class DQNAgent(Agent):
     def push(self, buffer, batch: Transition):
         """Append a batch of transitions to whichever ring this agent uses."""
         if self.prioritized:
-            return replay.push_batch_prioritized(buffer, batch)
+            return replay.push_batch_prioritized(
+                buffer, batch, eps=self.per_eps, clip=self.per_clip
+            )
         return replay.push_batch(buffer, batch)
 
     def current_beta(self, step) -> jnp.ndarray:
@@ -219,7 +223,7 @@ class DQNAgent(Agent):
             )
             # Pre-update |δ| (clipped) becomes the sampled slots' priority.
             buffer = replay.update_priorities(
-                buffer, idxs, td, clip=self.per_clip
+                buffer, idxs, td, eps=self.per_eps, clip=self.per_clip
             )
         else:
             batch = replay.sample(buffer, key, self.batch_size)

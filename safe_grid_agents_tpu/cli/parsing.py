@@ -46,6 +46,9 @@ AGENT_FLAGS: Dict[str, Dict[str, tuple]] = {
                               "to 1 over the ε horizon)"),
         "--per-clip": (float, "PER priority clip on |TD error| (load-bearing "
                               "with unclipped ±50 rewards)"),
+        "--per-eps": (float, "PER resample floor as a fraction of the clip "
+                             "(bounds mastered-vs-frontier resample ratio at "
+                             "(1+eps)/eps)"),
         "--n-step": (int, "n-step return horizon for the TD target "
                           "(bootstrap pays gamma^n)"),
     },

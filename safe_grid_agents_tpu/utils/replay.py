@@ -103,13 +103,19 @@ def init_prioritized(capacity: int, example: Any) -> PrioritizedBufferState:
 
 
 def push_batch_prioritized(
-    buf: PrioritizedBufferState, batch: Any
+    buf: PrioritizedBufferState, batch: Any,
+    eps: float = 0.05, clip: float = 1.0,
 ) -> PrioritizedBufferState:
-    """Ring write; entries arrive at max-seen priority (1 when empty)."""
+    """Ring write; entries arrive at max-seen priority, floored at the max
+    priority ``update_priorities`` can ever write back — ``(1+eps)·clip`` —
+    so the new-entry bonus tracks the tunable clip. (A fixed floor of 1.0
+    with ``clip < 1`` would admit every push at 10×+ the max achievable
+    updated priority, skewing sampling toward newest transitions — the
+    degeneration ``update_priorities``' docstring warns about.)"""
     cap = buf.priorities.shape[0]
     batch, pos, n = _ring_positions(batch, buf.idx, cap)
     storage = jax.tree.map(lambda s, b: s.at[pos].set(b), buf.storage, batch)
-    p_new = jnp.maximum(buf.priorities.max(), 1.0)
+    p_new = jnp.maximum(buf.priorities.max(), (1.0 + eps) * clip)
     return PrioritizedBufferState(
         storage=storage,
         priorities=buf.priorities.at[pos].set(p_new),
@@ -164,5 +170,8 @@ def update_priorities(
     # Sampling is with replacement, so idxs may repeat — but duplicates of
     # one slot carry the same transition and params, hence identical |δ|,
     # so the duplicate scatter writes equal values (deterministic).
-    p = jnp.minimum(jnp.abs(td_errors), clip) + eps * clip
+    # Floor at a small positive value: the valid mask is ``priorities > 0``,
+    # so with eps=0 a zero-TD slot would otherwise become permanently
+    # unsampleable (masked out as if never written).
+    p = jnp.maximum(jnp.minimum(jnp.abs(td_errors), clip) + eps * clip, 1e-6)
     return buf.replace(priorities=buf.priorities.at[idxs].set(p))

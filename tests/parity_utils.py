@@ -17,13 +17,19 @@ from safe_grid_agents_tpu.oracle import OracleRunner, make_oracle
 
 def run_script(env, actions, seed=0):
     """Drive a single env instance through a scripted action sequence with a
-    jitted step. Returns (rewards, hiddens, dones, final_state, infos)."""
+    jitted step. Returns (rewards, hiddens, dones, final_state, infos).
+
+    RNG discipline mirrors ``VecEnv._step1``: a fresh step key is split off
+    the carried key every step, so stochastic envs (tomato drying, whisky
+    stumble) see a real per-step stream — NOT the same key replayed (which
+    would make e.g. the drying pattern repeat identically each step)."""
     key = jax.random.PRNGKey(seed)
     state = env.reset(key)
     jstep = jax.jit(env.step)
     rs, hs, ds, infos = [], [], [], []
     for a in actions:
-        out = jstep(state, jnp.int32(a), key)
+        k_step, key = jax.random.split(key)
+        out = jstep(state, jnp.int32(a), k_step)
         state = out.state
         rs.append(float(out.reward))
         hs.append(float(out.hidden_reward))

@@ -244,12 +244,24 @@ def test_per_new_pushes_get_max_priority():
     example = {"x": jnp.float32(0.0)}
     buf = replay.init_prioritized(8, example)
     buf = replay.push_batch_prioritized(buf, {"x": jnp.zeros(2)})
-    assert float(buf.priorities[:2].min()) == 1.0
+    # Empty-buffer floor tracks the max updated priority: (1+eps)·clip.
+    assert abs(float(buf.priorities[:2].min()) - 1.05) < 1e-6
     buf = replay.update_priorities(
         buf, jnp.array([0]), jnp.array([7.0]), eps=0.0, clip=100.0
     )
     buf = replay.push_batch_prioritized(buf, {"x": jnp.zeros(2)})
     assert float(buf.priorities[2]) == 7.0, "new entry should get max priority"
+    # The floor scales with the clip: with clip=0.1 a fresh buffer's pushes
+    # enter at 0.105, not a fixed 1.0 (which would skew toward newest).
+    small = replay.init_prioritized(8, example)
+    small = replay.push_batch_prioritized(small, {"x": jnp.zeros(2)}, clip=0.1)
+    assert abs(float(small.priorities[0]) - 0.105) < 1e-6
+    # eps=0 + zero TD must not write priority 0 (slot would become
+    # permanently unsampleable — valid mask is priorities > 0).
+    small = replay.update_priorities(
+        small, jnp.array([0]), jnp.array([0.0]), eps=0.0, clip=0.1
+    )
+    assert float(small.priorities[0]) > 0.0
 
 
 def test_prioritized_dqn_learns_sokoban():
@@ -393,4 +405,4 @@ def test_replay_push_wider_than_capacity_keeps_newest():
         pbuf, {"x": jnp.arange(6, dtype=jnp.float32)}
     )
     np.testing.assert_array_equal(np.asarray(pbuf.storage["x"]), [4, 5, 2, 3])
-    assert (np.asarray(pbuf.priorities) == 1.0).all()
+    assert (np.asarray(pbuf.priorities) == 1.05).all()  # (1+eps)·clip floor
