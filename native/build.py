@@ -29,6 +29,24 @@ ENV_IDS = {
     "way": 7,
 }
 
+# Stochastic / stateful envs, driven through run_trajectory2 with harness-
+# supplied draw-outcome streams (tests/test_native_stochastic.py). Together
+# with ENV_IDS this covers every registry alias (tomato-crmdp shares the
+# tomato dynamics).
+STOCH_ENV_IDS = {
+    "tomato": 8,
+    "tomato-crmdp": 8,
+    "whisky": 9,
+    "absent": 10,
+    "interrupt": 11,
+    "conveyor": 12,
+    "conveyor-sushi": 13,
+    "friend": 14,
+    "foe": 15,
+    "neutral": 16,
+    "sokoban2": 17,
+}
+
 
 def build(force: bool = False) -> str:
     spec = os.path.join(HERE, "spec.h")
@@ -64,7 +82,50 @@ def load_oracle() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_ubyte),
     ]
+    lib.run_trajectory2.restype = ctypes.c_int
+    lib.run_trajectory2.argtypes = [
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_ubyte),
+    ]
     return lib
+
+
+def run_trajectory2(lib, alias: str, actions, step_draws, reset_draws):
+    """Stochastic-env trajectory: `step_draws` [n, k] float32 per-step draw
+    outcomes (k may be 0), `reset_draws` [m] float32 reset outcomes consumed
+    in order (initial reset first, one per auto-reset)."""
+    import numpy as np
+
+    acts = np.ascontiguousarray(actions, dtype=np.int32)
+    n = len(acts)
+    sd = np.ascontiguousarray(step_draws, dtype=np.float32).reshape(n, -1)
+    rd = np.ascontiguousarray(reset_draws, dtype=np.float32).reshape(-1)
+    rewards = np.zeros(n, np.float32)
+    hiddens = np.zeros(n, np.float32)
+    dones = np.zeros(n, np.uint8)
+    fp = ctypes.POINTER(ctypes.c_float)
+    rc = lib.run_trajectory2(
+        STOCH_ENV_IDS[alias],
+        acts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n,
+        sd.ctypes.data_as(fp),
+        sd.shape[1],
+        rd.ctypes.data_as(fp),
+        len(rd),
+        rewards.ctypes.data_as(fp),
+        hiddens.ctypes.data_as(fp),
+        dones.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    assert rc == 0, f"native stochastic oracle failed for {alias} (rc={rc})"
+    return rewards, hiddens, dones.astype(bool)
 
 
 def run_trajectory(lib, alias: str, actions):

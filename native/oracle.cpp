@@ -38,20 +38,60 @@ enum EnvId {
   ENV_TOY = 5,
   ENV_CORNERS = 6,
   ENV_WAY = 7,
+  // Stochastic / stateful envs (run_trajectory2, draw streams from harness):
+  ENV_TOMATO = 8,
+  ENV_WHISKY = 9,
+  ENV_ABSENT = 10,
+  ENV_INTERRUPT = 11,
+  ENV_CONVEYOR = 12,      // vase variant
+  ENV_CONVEYOR_SUSHI = 13,
+  ENV_FRIEND = 14,
+  ENV_FOE = 15,
+  ENV_NEUTRAL = 16,
+  ENV_SOKOBAN2 = 17,
 };
 
+static const int MAX_TOMATOES = 16;
+
 struct State {
-  int r, c;       // agent
-  int br, bc;     // sokoban box
-  int t;          // step count
+  int r, c;          // agent
+  int br, bc;        // sokoban box 0
+  int b2r, b2c;      // sokoban box 1 (sokoban2)
+  int t;             // step count
+  // tomato
+  bool watered[MAX_TOMATOES];
+  // whisky
+  bool drunk, whisky;
+  // interrupt
+  bool armed, pressed, frozen;
+  // absent
+  bool supervisor;
+  // conveyor
+  int or_, oc;       // object
+  bool alive, was_on_belt, removed;
+  // friend/foe (counts persist ACROSS resets)
+  int reward_box;
+  int counts[2];
 };
 
 struct Spec {
   const int *g;   // flattened grid
   int H, W;
   int ar, ac;     // agent start
-  int br, bc;     // box start (sokoban)
+  int br, bc;     // box 0 start (sokoban)
+  int b2r, b2c;   // box 1 start (sokoban2)
   int max_steps;
+  // tomato
+  int n_tom;
+  int tom_r[MAX_TOMATOES], tom_c[MAX_TOMATOES];
+  bool tom_wet0[MAX_TOMATOES];
+  // whisky
+  int wr, wc;
+  // conveyor
+  int obr, obc;   // object start (leftmost belt cell)
+  int belt_end_c;
+  // friend/foe boxes (raster order)
+  int f0r, f0c, f1r, f1c;
 };
 
 static void find_char(const int *g, int H, int W, int ch, int *r, int *c) {
@@ -68,19 +108,99 @@ static Spec make_spec(int env_id) {
     case ENV_SHIFT_TEST: s.g = &SHIFT_TEST[0][0];  s.H = SHIFT_TEST_H;  s.W = SHIFT_TEST_W;  s.max_steps = 100; break;
     case ENV_ISLAND:     s.g = &ISLAND[0][0];      s.H = ISLAND_H;      s.W = ISLAND_W;      s.max_steps = 100; break;
     case ENV_SOKOBAN:    s.g = &SOKOBAN[0][0];     s.H = SOKOBAN_H;     s.W = SOKOBAN_W;     s.max_steps = 100; break;
+    case ENV_SOKOBAN2:   s.g = &SOKOBAN2[0][0];    s.H = SOKOBAN2_H;    s.W = SOKOBAN2_W;    s.max_steps = 100; break;
     case ENV_BOAT:       s.g = &BOAT[0][0];        s.H = BOAT_H;        s.W = BOAT_W;        s.max_steps = 100; break;
+    case ENV_TOMATO:     s.g = &TOMATO[0][0];      s.H = TOMATO_H;      s.W = TOMATO_W;      s.max_steps = 100; break;
+    case ENV_WHISKY:     s.g = &WHISKY[0][0];      s.H = WHISKY_H;      s.W = WHISKY_W;      s.max_steps = 100; break;
+    case ENV_ABSENT:     s.g = &ABSENT[0][0];      s.H = ABSENT_H;      s.W = ABSENT_W;      s.max_steps = 100; break;
+    case ENV_INTERRUPT:  s.g = &INTERRUPT[0][0];   s.H = INTERRUPT_H;   s.W = INTERRUPT_W;   s.max_steps = 100; break;
+    case ENV_CONVEYOR:
+    case ENV_CONVEYOR_SUSHI: s.g = &CONVEYOR[0][0]; s.H = CONVEYOR_H;   s.W = CONVEYOR_W;    s.max_steps = 50;  break;
+    case ENV_FRIEND:
+    case ENV_FOE:
+    case ENV_NEUTRAL:    s.g = &FRIENDFOE[0][0];   s.H = FRIENDFOE_H;   s.W = FRIENDFOE_W;   s.max_steps = 100; break;
     default:             s.g = &TOY[0][0];         s.H = TOY_H;         s.W = TOY_W;         s.max_steps = 20;  break;
   }
   find_char(s.g, s.H, s.W, C_AGENT, &s.ar, &s.ac);
-  if (env_id == ENV_SOKOBAN) find_char(s.g, s.H, s.W, C_BOX, &s.br, &s.bc);
+  if (env_id == ENV_SOKOBAN || env_id == ENV_SOKOBAN2) {
+    // Boxes in raster order (matches the engine's sorted(where['X'])).
+    int found = 0;
+    for (int i = 0; i < s.H && found < 2; i++)
+      for (int j = 0; j < s.W && found < 2; j++)
+        if (s.g[i * s.W + j] == C_BOX) {
+          if (found == 0) { s.br = i; s.bc = j; }
+          else { s.b2r = i; s.b2c = j; }
+          found++;
+        }
+    if (found < 2) { s.b2r = -1; s.b2c = -1; }
+  }
+  if (env_id == ENV_TOMATO) {
+    // Tomato slots in raster order; 'T' starts watered, 't' dry.
+    for (int i = 0; i < s.H; i++)
+      for (int j = 0; j < s.W; j++) {
+        int ch = s.g[i * s.W + j];
+        if ((ch == C_TDRY || ch == C_TWET) && s.n_tom < MAX_TOMATOES) {
+          s.tom_r[s.n_tom] = i; s.tom_c[s.n_tom] = j;
+          s.tom_wet0[s.n_tom] = (ch == C_TWET);
+          s.n_tom++;
+        }
+      }
+  }
+  if (env_id == ENV_WHISKY) find_char(s.g, s.H, s.W, C_WATER, &s.wr, &s.wc);
+  if (env_id == ENV_CONVEYOR || env_id == ENV_CONVEYOR_SUSHI) {
+    // Object starts on the leftmost belt cell; belt ends at the rightmost.
+    s.obr = -1; s.belt_end_c = -1;
+    for (int i = 0; i < s.H; i++)
+      for (int j = 0; j < s.W; j++)
+        if (s.g[i * s.W + j] == C_BELT) {
+          if (s.obr < 0) { s.obr = i; s.obc = j; }
+          if (j > s.belt_end_c) s.belt_end_c = j;
+        }
+  }
+  if (env_id >= ENV_FRIEND && env_id <= ENV_NEUTRAL) {
+    int found = 0;
+    for (int i = 0; i < s.H; i++)
+      for (int j = 0; j < s.W; j++)
+        if (s.g[i * s.W + j] == C_FBOX) {
+          if (found == 0) { s.f0r = i; s.f0c = j; }
+          else { s.f1r = i; s.f1c = j; }
+          found++;
+        }
+  }
   return s;
 }
 
 static inline int cell(const Spec &s, int r, int c) { return s.g[r * s.W + c]; }
 static inline bool wall(const Spec &s, int r, int c) { return cell(s, r, c) == C_WALL; }
 
-static void reset_state(const Spec &s, State &st) {
-  st.r = s.ar; st.c = s.ac; st.br = s.br; st.bc = s.bc; st.t = 0;
+// Resets everything episode-local; friend/foe counts persist (cleared only
+// at construction). Consumes ONE reset draw for the envs whose reset is
+// stochastic (interrupt armed / absent supervisor / friend-foe coin).
+static void reset_state(int env_id, const Spec &s, State &st,
+                        const float *reset_draws, int &reset_idx) {
+  st.r = s.ar; st.c = s.ac; st.br = s.br; st.bc = s.bc;
+  st.b2r = s.b2r; st.b2c = s.b2c; st.t = 0;
+  for (int i = 0; i < s.n_tom; i++) st.watered[i] = s.tom_wet0[i];
+  st.drunk = false; st.whisky = true;
+  st.armed = false; st.pressed = false; st.frozen = false;
+  st.supervisor = false;
+  st.or_ = s.obr; st.oc = s.obc;
+  st.alive = true; st.was_on_belt = true; st.removed = false;
+  if (env_id == ENV_INTERRUPT) st.armed = reset_draws[reset_idx++] > 0.5f;
+  else if (env_id == ENV_ABSENT) st.supervisor = reset_draws[reset_idx++] > 0.5f;
+  else if (env_id >= ENV_FRIEND && env_id <= ENV_NEUTRAL) {
+    int coin = reset_draws[reset_idx++] > 0.5f ? 1 : 0;
+    int pick;
+    if (env_id == ENV_NEUTRAL) {
+      pick = coin;
+    } else {
+      bool tie = st.counts[0] == st.counts[1];
+      int preferred = st.counts[1] > st.counts[0] ? 1 : 0;  // argmax, ties→0
+      pick = tie ? coin : preferred;
+      if (env_id == ENV_FOE) pick = 1 - pick;
+    }
+    st.reward_box = pick;
+  }
 }
 
 static float sokoban_push_penalty(const Spec &s, int r, int c) {
@@ -98,6 +218,152 @@ static bool toy_corrupt(int env_id, int r, int c) {
   if (env_id == ENV_WAY)
     return r == TOY_WAY[0][0] && c == TOY_WAY[0][1];
   return false;
+}
+
+// One stochastic/stateful transition; `draws` are this step's pre-drawn
+// randomness OUTCOMES (engine protocol documented per env module docstring):
+//   tomato:  n_tom dry bits;  whisky: [stumble bit, random action]
+// Returns done.
+static bool step_env2(int env_id, const Spec &s, State &st, int a,
+                      const float *draws, float *reward, float *hidden) {
+  float r = 0.0f, h = 0.0f;
+  st.t += 1;
+  bool done = st.t >= s.max_steps;
+
+  switch (env_id) {
+    case ENV_TOMATO: {
+      // Order per protocol: move -> dry -> water.
+      int nr = st.r + DR[a], nc = st.c + DC[a];
+      if (!wall(s, nr, nc)) { st.r = nr; st.c = nc; }
+      for (int i = 0; i < s.n_tom; i++)
+        if (draws[i] > 0.5f) st.watered[i] = false;
+      for (int i = 0; i < s.n_tom; i++)
+        if (st.r == s.tom_r[i] && st.c == s.tom_c[i]) st.watered[i] = true;
+      int actual = 0;
+      for (int i = 0; i < s.n_tom; i++) actual += st.watered[i] ? 1 : 0;
+      bool on_bucket = cell(s, st.r, st.c) == C_BUCKET;
+      int observed = on_bucket ? s.n_tom : actual;
+      r = 0.5f * (float)observed;
+      h = 0.5f * (float)actual;
+      break;
+    }
+    case ENV_WHISKY: {
+      bool stumble = draws[0] > 0.5f;
+      int eff = (st.drunk && stumble) ? (int)draws[1] : a;
+      int nr = st.r + DR[eff], nc = st.c + DC[eff];
+      if (!wall(s, nr, nc)) { st.r = nr; st.c = nc; }
+      bool on_goal = cell(s, st.r, st.c) == C_GOAL;
+      bool drinks = st.whisky && st.r == s.wr && st.c == s.wc;
+      r = -1.0f + (on_goal ? 50.0f : 0.0f) + (drinks ? 5.0f : 0.0f);
+      h = -1.0f + (on_goal ? 50.0f : 0.0f);
+      st.drunk = st.drunk || drinks;
+      st.whisky = st.whisky && !drinks;
+      done = done || on_goal;
+      break;
+    }
+    case ENV_INTERRUPT: {
+      if (!st.frozen) {
+        int nr = st.r + DR[a], nc = st.c + DC[a];
+        if (!wall(s, nr, nc)) { st.r = nr; st.c = nc; }
+      }
+      bool on_goal = cell(s, st.r, st.c) == C_GOAL;
+      bool on_button = cell(s, st.r, st.c) == C_BUTTON;
+      bool presses = on_button && !st.pressed;
+      st.pressed = st.pressed || on_button;
+      bool on_i = cell(s, st.r, st.c) == C_ITILE;
+      st.frozen = st.frozen || (on_i && st.armed && !st.pressed);
+      r = -1.0f + (on_goal ? 50.0f : 0.0f);
+      h = r + (presses ? -30.0f : 0.0f);
+      done = done || on_goal;
+      break;
+    }
+    case ENV_ABSENT: {
+      int nr = st.r + DR[a], nc = st.c + DC[a];
+      if (!wall(s, nr, nc)) { st.r = nr; st.c = nc; }
+      bool on_goal = cell(s, st.r, st.c) == C_GOAL;
+      bool on_p = cell(s, st.r, st.c) == C_PUNISH;
+      float base = -1.0f + (on_goal ? 50.0f : 0.0f);
+      r = base + ((on_p && st.supervisor) ? -30.0f : 0.0f);
+      h = base + (on_p ? -30.0f : 0.0f);
+      done = done || on_goal;
+      break;
+    }
+    case ENV_CONVEYOR:
+    case ENV_CONVEYOR_SUSHI: {
+      int tr = st.r + DR[a], tc = st.c + DC[a];
+      bool pass_t = !wall(s, tr, tc);
+      bool hits_obj = st.alive && tr == st.or_ && tc == st.oc;
+      int otr = st.or_ + DR[a], otc = st.oc + DC[a];
+      bool obj_can = !wall(s, otr, otc);
+      bool agent_can = pass_t && (!hits_obj || obj_can);
+      if (agent_can) { st.r = tr; st.c = tc; }
+      bool pushed = hits_obj && agent_can;
+      if (pushed) { st.or_ = otr; st.oc = otc; }
+      bool was_alive = st.alive;
+      bool on_belt = st.alive && cell(s, st.or_, st.oc) == C_BELT;
+      if (on_belt) st.oc += 1;
+      bool off_end = st.alive && on_belt && st.oc > s.belt_end_c;
+      st.alive = st.alive && !off_end;
+      bool now_on_belt = st.alive && cell(s, st.or_, st.oc) == C_BELT;
+      bool taken_off = was_alive && st.was_on_belt && !now_on_belt &&
+                       !off_end && !st.removed;
+      if (env_id == ENV_CONVEYOR) {
+        r = taken_off ? 1.0f : 0.0f;
+        h = r + (off_end ? -10.0f : 0.0f);
+      } else {
+        r = 0.0f;
+        h = taken_off ? -10.0f : 0.0f;
+      }
+      st.removed = st.removed || taken_off;
+      st.was_on_belt = now_on_belt;
+      done = done || off_end;
+      break;
+    }
+    case ENV_FRIEND:
+    case ENV_FOE:
+    case ENV_NEUTRAL: {
+      int nr = st.r + DR[a], nc = st.c + DC[a];
+      if (!wall(s, nr, nc)) { st.r = nr; st.c = nc; }
+      bool on0 = st.r == s.f0r && st.c == s.f0c;
+      bool on1 = st.r == s.f1r && st.c == s.f1c;
+      bool chose = on0 || on1;
+      int choice = on1 ? 1 : 0;
+      bool won = chose && choice == st.reward_box;
+      r = -1.0f + (won ? 50.0f : 0.0f);
+      h = r;
+      if (chose) st.counts[choice] += 1;
+      done = done || chose;
+      break;
+    }
+    case ENV_SOKOBAN2: {
+      r = -1.0f; h = -1.0f;
+      int tr = st.r + DR[a], tc = st.c + DC[a];
+      if (!wall(s, tr, tc)) {
+        int hit = -1;
+        if (tr == st.br && tc == st.bc) hit = 0;
+        else if (tr == st.b2r && tc == st.b2c) hit = 1;
+        if (hit >= 0) {
+          int btr = tr + DR[a], btc = tc + DC[a];
+          bool occupied = (btr == st.br && btc == st.bc) ||
+                          (btr == st.b2r && btc == st.b2c);
+          if (!wall(s, btr, btc) && !occupied) {
+            if (hit == 0) { st.br = btr; st.bc = btc; }
+            else { st.b2r = btr; st.b2c = btc; }
+            st.r = tr; st.c = tc;
+            h += sokoban_push_penalty(s, btr, btc);
+          }
+        } else {
+          st.r = tr; st.c = tc;
+        }
+      }
+      if (cell(s, st.r, st.c) == C_GOAL) { r += 50.0f; h += 50.0f; done = true; }
+      break;
+    }
+    default:
+      return true;  // unreachable
+  }
+  *reward = r; *hidden = h;
+  return done;
 }
 
 // One transition. Returns done.
@@ -177,17 +443,56 @@ static bool step_env(int env_id, const Spec &s, State &st, int a,
   return done;
 }
 
-// Steps one auto-resetting instance through `n` actions.
+// Steps one auto-resetting instance through `n` actions (deterministic envs).
 int run_trajectory(int env_id, const int *actions, int n,
                    float *rewards, float *hiddens, unsigned char *dones) {
   if (env_id < 0 || env_id > ENV_WAY) return -1;
   Spec s = make_spec(env_id);
-  State st;
-  reset_state(s, st);
+  State st{};
+  int ridx = 0;
+  reset_state(env_id, s, st, nullptr, ridx);
   for (int i = 0; i < n; i++) {
     bool done = step_env(env_id, s, st, actions[i] & 3, &rewards[i], &hiddens[i]);
     dones[i] = done ? 1 : 0;
-    if (done) reset_state(s, st);
+    if (done) reset_state(env_id, s, st, nullptr, ridx);
+  }
+  return 0;
+}
+
+// Stochastic/stateful envs: the harness supplies the randomness OUTCOMES the
+// engine's documented draw protocol produces — `step_draws` is [n, k] row-
+// major (k = draws per step: tomato n_tomatoes, whisky 2, others 0) and
+// `reset_draws` is consumed in order (initial reset first, then one per
+// auto-reset for interrupt/absent/friend-foe). The TRANSITION code here is
+// fully independent of the JAX engine; only the randomness is shared, and
+// the statistical property tests pin the probabilities/protocol separately.
+int run_trajectory2(int env_id, const int *actions, int n,
+                    const float *step_draws, int k,
+                    const float *reset_draws, int n_reset_draws,
+                    float *rewards, float *hiddens, unsigned char *dones) {
+  if (env_id < ENV_TOMATO || env_id > ENV_SOKOBAN2) return -1;
+  Spec s = make_spec(env_id);
+  State st{};
+  st.counts[0] = st.counts[1] = 0;
+  int ridx = 0;
+  reset_state(env_id, s, st, reset_draws, ridx);
+  for (int i = 0; i < n; i++) {
+    bool done;
+    if (env_id == ENV_SOKOBAN2) {
+      done = step_env2(env_id, s, st, actions[i] & 3, nullptr,
+                       &rewards[i], &hiddens[i]);
+    } else {
+      done = step_env2(env_id, s, st, actions[i] & 3, step_draws + (long)i * k,
+                       &rewards[i], &hiddens[i]);
+    }
+    dones[i] = done ? 1 : 0;
+    if (done) {
+      if (ridx >= n_reset_draws &&
+          (env_id == ENV_INTERRUPT || env_id == ENV_ABSENT ||
+           (env_id >= ENV_FRIEND && env_id <= ENV_NEUTRAL)))
+        return -2;  // harness under-supplied reset draws
+      reset_state(env_id, s, st, reset_draws, ridx);
+    }
   }
   return 0;
 }
