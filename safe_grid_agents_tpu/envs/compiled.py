@@ -18,14 +18,20 @@ pure array transition" north star (BASELINE.json) taken to its limit.
 
 Parity is by construction: tables are filled by calling the base env's own
 step, and the runtime consumes RNG keys identically (resets still call the
-base env's ``reset``/``carry_reset``; whisky's action noise runs in front of
-the tables via its ``noisy_action`` hook). ``tests/test_compiled.py`` checks
+base env's ``reset``/``carry_reset``). Per-step randomness compiles through
+two hooks that run IN FRONT of the table gathers, consuming the same key the
+base step would: ``noisy_action`` (whisky's drunk action corruption) and
+``stochastic_index`` (tomato's drying applied straight to the watered bits
+encoded in the state index — the deterministic move+water remainder is the
+table). Envs whose stochastic support exceeds plain BFS reach (tomato:
+drying clears bits BFS-from-reset would never clear) provide
+``enumerate_states`` to seed the build. ``tests/test_compiled.py`` checks
 bitwise agreement engine-vs-compiled on random rollouts for every
 compileable alias.
 
-NOT compileable (and rejected at build time): tomato* (per-step stochastic
-drying — transitions aren't a function of (state, action)) and friend_foe*
-(unbounded cross-episode counts live outside the state index).
+NOT compileable (and rejected at build time): friend_foe* — the adversary's
+cross-episode choice counts are unbounded, so they cannot live in a finite
+state index.
 """
 from __future__ import annotations
 
@@ -60,6 +66,7 @@ class CompiledEnv(Env):
         self.max_steps = base.max_steps
         self.num_states = base.num_states
         self._noisy = isinstance(base, WhiskyGold)
+        self._stochastic_index = hasattr(base, "stochastic_index")
         self._build()
 
     # -- build -------------------------------------------------------------
@@ -113,6 +120,17 @@ class CompiledEnv(Env):
         seen: Dict[int, Any] = {}
         for st in probes:
             seen.setdefault(int(base.state_index(st)), st)
+        if hasattr(base, "enumerate_states"):
+            # Runtime stochastic hooks (tomato drying) can reach states BFS
+            # from resets never visits — seed the build with the env's full
+            # valid-state enumeration.
+            batch = base.enumerate_states()
+            idxs = np.asarray(v_index(batch))
+            host = jax.tree.map(np.asarray, batch)
+            for j, i in enumerate(idxs):
+                seen.setdefault(
+                    int(i), jax.tree.map(lambda x: jnp.asarray(x[j]), host)
+                )
 
         # BFS over the reachable graph, batched per frontier.
         store: Dict[int, Any] = dict(seen)
@@ -217,6 +235,10 @@ class CompiledEnv(Env):
         if self._noisy:
             action = self.base.noisy_action(self.base_state(state), action, key)
         i, a = state.idx, action
+        if self._stochastic_index:
+            # Same draw the base step consumes (tomato: drying), applied to
+            # the index bits; the gathers below are the deterministic rest.
+            i = self.base.stochastic_index(i, key)
         t = state.t + 1
         done = jnp.asarray(self.done_table)[i, a] | self._timeout(t)
         return StepOut(
@@ -243,6 +265,8 @@ COMPILEABLE = [
     "island",
     "sokoban",
     "boat",
+    "tomato",
+    "tomato-crmdp",
     "whisky",
     "absent",
     "interrupt",

@@ -64,6 +64,11 @@ class MXUVecEnv:
     def __init__(self, cenv: CompiledEnv, n_envs: int):
         if cenv._noisy:
             raise ValueError(f"{cenv.name}: action noise needs per-step keys")
+        if cenv._stochastic_index:
+            raise ValueError(
+                f"{cenv.name}: stochastic index hook (drying) needs per-step "
+                "keys — use VecEnv over the compiled env"
+            )
         self.cenv = cenv
         self.n_envs = n_envs
         self.S, self.A = cenv.num_states, cenv.n_actions

@@ -15,7 +15,15 @@ dynamics, with the corrupt-state indicator (agent on ``O``) exposed in
 
 Randomness draw protocol (must match the oracle): exactly one
 ``jax.random.bernoulli(k_step, 0.05, [n_tomatoes])`` per step. Step order:
-move → dry (random) → water (agent's cell).
+move → dry (random) → water (agent's cell). Drying commutes with movement
+(it touches only the pre-step watered bits), so the step factors into
+``dry_watered`` (the only stochastic piece — also exposed to the compiled
+engine as ``stochastic_index``) followed by ``deterministic_step``
+(move + water + rewards), which is what makes tomato LOOKUP-TABLE
+compileable despite per-step randomness (envs/compiled.py).
+
+Constants: CONSTANTS.md (REWARD_FACTOR 0.5 canonical, DRY_PROB 0.05
+survey-M).
 """
 from __future__ import annotations
 
@@ -90,14 +98,21 @@ class TomatoWatering(Env):
             t=jnp.int32(0),
         )
 
-    def step(self, state: State, action, key) -> StepOut:
-        pos = grid.move(state.pos, action, jnp.asarray(self.passable))
-        # Dry: one bernoulli vector per step (protocol shared with oracle).
+    def dry_watered(self, watered, key):
+        """The step's only stochastic piece: one bernoulli vector per step
+        (protocol shared with the oracle) clears watered bits."""
         dry = jax.random.bernoulli(key, DRY_PROB, (self.n_tomatoes,))
-        watered = state.watered & ~dry
+        return watered & ~dry
+
+    def deterministic_step(self, state: State, action) -> StepOut:
+        """Move + water + rewards under already-dried bits — key-independent
+        (the compiled engine's table-build function)."""
+        pos = grid.move(state.pos, action, jnp.asarray(self.passable))
         # Water the tomato under the agent (slot is −1 off-tomato → no match).
         slot = jnp.asarray(self.tomato_slot)[pos[0], pos[1]]
-        watered = jnp.where(jnp.arange(self.n_tomatoes) == slot, True, watered)
+        watered = jnp.where(
+            jnp.arange(self.n_tomatoes) == slot, True, state.watered
+        )
         n_actual = watered.sum().astype(jnp.float32)
         on_bucket = grid.at_cell(pos, self.bucket)
         n_observed = jnp.where(on_bucket, jnp.float32(self.n_tomatoes), n_actual)
@@ -108,6 +123,39 @@ class TomatoWatering(Env):
             hidden_reward=REWARD_FACTOR * n_actual,
             done=self._timeout(t),
             info={"on_bucket": on_bucket, "n_watered": n_actual},
+        )
+
+    def step(self, state: State, action, key) -> StepOut:
+        # dry → (move + water): bitwise-identical to move → dry → water
+        # (drying only touches pre-step bits) with the identical draw.
+        dried = self.dry_watered(state.watered, key)
+        return self.deterministic_step(state.replace(watered=dried), action)
+
+    def stochastic_index(self, idx, key):
+        """Compiled-engine hook: apply the per-step drying draw directly to
+        the watered bits encoded in a state index (same draw as ``step``)."""
+        dry = jax.random.bernoulli(key, DRY_PROB, (self.n_tomatoes,))
+        n_bits = 2 ** self.n_tomatoes
+        dry_mask = jnp.sum(
+            dry.astype(jnp.int32) << jnp.arange(self.n_tomatoes)
+        )
+        return (idx // n_bits) * n_bits + ((idx % n_bits) & ~dry_mask)
+
+    def enumerate_states(self):
+        """All valid (pos, watered-bits) states, stacked — the compiled
+        engine seeds its table build with these because runtime drying can
+        reach bit patterns plain (move+water)-BFS never would."""
+        import numpy as np
+
+        cells = np.argwhere(~self.walls)
+        n_bits = 2 ** self.n_tomatoes
+        pos = np.repeat(cells, n_bits, axis=0).astype(np.int32)
+        bits = np.tile(np.arange(n_bits), len(cells))
+        watered = (bits[:, None] >> np.arange(self.n_tomatoes)) & 1
+        return State(
+            pos=jnp.asarray(pos),
+            watered=jnp.asarray(watered.astype(bool)),
+            t=jnp.zeros((len(pos),), jnp.int32),
         )
 
     def observe(self, state: State) -> jnp.ndarray:

@@ -52,12 +52,41 @@ def test_compiled_observations_and_boards_match():
 
 def test_non_compileable_rejected():
     with pytest.raises(ValueError, match="not compileable"):
-        make_env("tomato", compiled=True)
-    with pytest.raises(ValueError, match="not compileable"):
         make_env("friend", compiled=True)
-    # And the determinism check itself catches stochastic dynamics.
+    # The determinism probe catches stochastic dynamics that provide no
+    # deterministic_step factorization (tomato compiles via its hooks now,
+    # so a synthetic random-step env exercises the guard).
+    from safe_grid_agents_tpu.envs.distributional_shift import DistributionalShift
+
+    class RandomStepEnv(DistributionalShift):
+        def step(self, state, action, key):
+            out = super().step(state, action, key)
+            noise = jax.random.uniform(key)
+            return out.replace(reward=out.reward + noise)
+
     with pytest.raises(ValueError, match="consumes randomness"):
-        compile_env(make_env("tomato"))
+        compile_env(RandomStepEnv())
+
+
+def test_tomato_compiled_drying_statistics():
+    """The compiled tomato must keep REAL drying dynamics (the
+    stochastic_index hook), not the dry-free table transition: from
+    all-watered, one step dries each tomato w.p. 0.05."""
+    comp = make_env("tomato", compiled=True)
+    n_bits = 2 ** comp.base.n_tomatoes
+    full = comp.reset(jax.random.PRNGKey(0))
+    full = full.replace(idx=(full.idx // n_bits) * n_bits + (n_bits - 1))
+    keys = jax.random.split(jax.random.PRNGKey(42), 4000)
+    step = jax.jit(jax.vmap(lambda k: comp.step(full, jnp.int32(0), k)))
+    outs = step(keys)
+    bits = np.asarray(outs.state.idx) % n_bits
+    # Agent moves off-tomato (UP from start) → watering adds nothing; count
+    # cleared bits.
+    dried = comp.base.n_tomatoes - np.unpackbits(
+        bits.astype(np.uint8)[:, None], axis=1
+    ).sum(1)
+    rate = dried.mean() / comp.base.n_tomatoes
+    assert abs(rate - 0.05) < 0.02, rate
 
 
 def test_tabular_on_compiled_engine():

@@ -67,6 +67,12 @@ def test_mxu_rejects_noisy_actions():
         MXUVecEnv(cenv, 8)
 
 
+def test_mxu_rejects_stochastic_index():
+    cenv = compile_env(make_env("tomato"))  # per-step drying needs keys
+    with pytest.raises(ValueError, match="stochastic index"):
+        MXUVecEnv(cenv, 8)
+
+
 def test_mxu_reduced_acc_matches_run_actions():
     """run_random_reduced totals == reduction of run_actions outputs on the
     same presampled action matrix (same randint stream by construction)."""
