@@ -9,7 +9,14 @@ processed like PPO's GAE pass — window sums Rₜ⁽ⁿ⁾ = Σⱼ γʲ rₜ₊
 the first done, bootstrapping from sₜ₊ₙ with γⁿ — and the resulting windows
 are pushed instead of 1-step transitions. The last n−1 steps of each chunk
 have no full window and are dropped ((n−1)/T of the data; unbiased). With
-n_step=1 the pushed stream is bitwise-identical to the per-step push."""
+n_step=1 the pushed stream is bitwise-identical to the per-step push.
+
+HBM note: n_step > 1 stacks TWO full [T, N] env-state pytrees per chunk
+(states + pre-reset successors) instead of streaming per-step pushes — the
+price of lookahead. At the documented presets (≤256 envs × 64 steps, ~10
+small int registers per state) that is ≤ a few MB; if you raise --n-envs ×
+--chunk-steps into the 10⁵+ region with --n-step > 1, budget roughly
+2·T·N·sizeof(state) of extra collect-phase HBM."""
 from __future__ import annotations
 
 from typing import Tuple

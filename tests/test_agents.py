@@ -3,6 +3,7 @@ reaches known-optimal return; DQN solves sokoban; PPO reward-hacks the toy
 CRMDP worlds; PPO-CRMDP resists the hack. Also unit tests for the replay
 ring buffer."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -81,6 +82,7 @@ def test_tabular_learns_shift_optimal():
 
 # ---- DQN -----------------------------------------------------------------
 
+@pytest.mark.slow
 def test_dqn_learns_sokoban():
     env = make_env("sokoban")
     vec = VecEnv(env, 128)
@@ -113,6 +115,7 @@ def test_dqn_learns_sokoban():
 
 # ---- PPO: learns, and reward-hacks corrupt observations ------------------
 
+@pytest.mark.slow
 def test_ppo_hacks_corners():
     env = make_env("corners")
     vec = VecEnv(env, 64)
@@ -125,6 +128,7 @@ def test_ppo_hacks_corners():
     assert hid <= -10.0, f"hidden performance should reveal hacking: {evals}"
 
 
+@pytest.mark.slow
 def test_crmdp_resists_corners():
     env = make_env("corners")
     vec = VecEnv(env, 64)
@@ -182,6 +186,7 @@ def test_double_q_target_reduces_to_max_when_nets_equal():
     assert jnp.array_equal(l1, l2), (float(l1), float(l2))
 
 
+@pytest.mark.slow
 def test_double_dqn_learns_sokoban():
     env = make_env("sokoban")
     vec = VecEnv(env, 128)
@@ -264,6 +269,7 @@ def test_per_new_pushes_get_max_priority():
     assert float(small.priorities[0]) > 0.0
 
 
+@pytest.mark.slow
 def test_prioritized_dqn_learns_sokoban():
     env = make_env("sokoban")
     vec = VecEnv(env, 128)
@@ -359,6 +365,7 @@ def test_nstep_no_done_pays_gamma_n():
     assert np.allclose(np.asarray(td), want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_nstep_dqn_learns_sokoban():
     env = make_env("sokoban")
     vec = VecEnv(env, 128)

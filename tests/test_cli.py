@@ -56,6 +56,7 @@ def test_parser_rejects_unknown_aliases():
         p.parse_args(["shift", "not-an-agent"])
 
 
+@pytest.mark.slow
 def test_cli_end_to_end_tabular(tmp_path):
     stats = run(
         [

@@ -13,6 +13,8 @@ sys.path.insert(0, "/root/repo")
 
 from tools.curves import CONFIGS, GOLDEN_PATH, collect_curve  # noqa: E402
 
+pytestmark = pytest.mark.slow  # heavy tier: subprocess / golden-curve / tool e2e
+
 TOL = 5.0
 
 

@@ -97,6 +97,7 @@ def test_crmdp_dp_chunk(mesh):
     assert np.isfinite(np.asarray(astate.corruption)).all()
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import sys
 

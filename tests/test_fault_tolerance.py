@@ -22,6 +22,8 @@ import numpy as np
 import orbax.checkpoint as ocp
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: subprocess / golden-curve / tool e2e
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 N_CHUNKS = 400

@@ -12,6 +12,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: subprocess / golden-curve / tool e2e
+
 
 def _free_port() -> int:
     s = socket.socket()

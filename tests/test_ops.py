@@ -2,6 +2,7 @@
 (interpret mode on CPU; the same code compiles on TPU), plus PPO training
 integration with net='pallas'."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -69,6 +70,7 @@ def test_ppo_pallas_net_trains():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_ppo_table_net_matches_behavior():
     """Table-folded net (compiled envs): learns the same corners hack as the
     plain MLP and its fold rebinds across envs via for_env."""
@@ -98,6 +100,7 @@ def test_ppo_table_net_matches_behavior():
     assert acts.shape == (4,)
 
 
+@pytest.mark.slow
 def test_dqn_table_net_learns_sokoban():
     from safe_grid_agents_tpu.agents.dqn import DQNAgent
     from safe_grid_agents_tpu.training.dqn import DQNTrainer

@@ -5,9 +5,12 @@ import subprocess
 import sys
 
 import jax
+import pytest
 
 from safe_grid_agents_tpu.cli.main import run
 from safe_grid_agents_tpu.parallel.multihost import ensure_initialized, is_primary
+
+pytestmark = pytest.mark.slow  # heavy tier: subprocess / golden-curve / tool e2e
 
 
 def test_profile_writes_trace(tmp_path):
