@@ -165,7 +165,7 @@ def main():
     cenv = compile_env(make_env("shift"))
 
     # Real per-chunk rates (device_get-fenced): base ~23 M, compiled ~32 M,
-    # mxu ~400-700 M steps/s — chunks sized for >= 100 ms dispatches.
+    # mxu ~1.0-1.5 B steps/s — chunks sized for >= 100 ms dispatches.
     base_rate = measure_vecenv(make_env("shift"), "base", 4096)
     print(f"base engine:     {base_rate/1e6:.1f} M env-steps/s", file=sys.stderr)
     compiled_rate = measure_vecenv(cenv, "compiled", 4096)

@@ -5,15 +5,25 @@ replay writes/samples or GAE+minibatch epochs) for each agent family at
 north-star scale (4096 envs). Not the driver headline (that's bench.py);
 results are recorded in PERF.md.
 
+Fencing note (same hardening as bench.py): on the axon platform
+``block_until_ready`` is an async acknowledgement, NOT a completion fence —
+every timed dispatch here ends in a scalar ``device_get`` (float()), which
+cannot return before the device produced the value. Statistic: median of
+N_WINDOWS independent ≥1 s windows.
+
 Usage: python bench_train.py [--n-envs 4096] [--chunk 256]
 """
 import argparse
+import statistics
 import time
 
 import jax
 
+N_WINDOWS = 3
+WINDOW_SECONDS = 1.0
 
-def measure(trainer, chunk_steps: int, min_seconds: float = 0.5, warmup=None):
+
+def measure(trainer, chunk_steps: int, warmup=None):
     astate, vstate = trainer.init(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
     if warmup is not None:
@@ -21,22 +31,27 @@ def measure(trainer, chunk_steps: int, min_seconds: float = 0.5, warmup=None):
             astate, vstate, key, warmup
         )
     chunk = jax.jit(trainer.train_chunk, static_argnums=3)
+    # Compile + warm the tunnel; fence with a real host transfer.
     out = chunk(astate, vstate, key, chunk_steps)
-    jax.block_until_ready(out[2].episodes)
+    float(out[2].episodes)
     astate, vstate = out[0], out[1]
 
     n_envs = trainer.vec.n_envs
-    total = 0
-    t0 = time.perf_counter()
-    while True:
-        key, k = jax.random.split(key)
-        out = chunk(astate, vstate, k, chunk_steps)
-        astate, vstate = out[0], out[1]
-        total += chunk_steps * n_envs
-        jax.block_until_ready(out[2].episodes)
-        dt = time.perf_counter() - t0
-        if dt >= min_seconds:
-            return total / dt
+    windows = []
+    for _ in range(N_WINDOWS):
+        total = 0
+        t0 = time.perf_counter()
+        while True:
+            key, k = jax.random.split(key)
+            out = chunk(astate, vstate, k, chunk_steps)
+            astate, vstate = out[0], out[1]
+            total += chunk_steps * n_envs
+            float(out[2].episodes)  # device_get: the only real fence on axon
+            dt = time.perf_counter() - t0
+            if dt >= WINDOW_SECONDS:
+                break
+        windows.append(total / dt)
+    return statistics.median(windows)
 
 
 def main():
