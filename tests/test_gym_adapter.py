@@ -92,3 +92,38 @@ def test_get_last_performance_survives_reset():
     assert done
     env.reset()
     assert env.get_last_performance() == -51.0
+
+
+def test_adapter_documented_surface():
+    """Conformance: the safe-grid-gym-documented method/space/info surface
+    (SURVEY.md §2b gym wrapper row; VERDICT r1 item 10), so reference
+    experiment scripts port 1:1."""
+    from safe_grid_agents_tpu.envs.gym_adapter import GYM_ID_REGISTRY, make
+
+    env = make("IslandNavigation-v0")  # registration-style id
+    assert env.env.name == "island_navigation"
+    # Classic seeding API.
+    assert env.seed(7) == [7]
+    obs = env.reset()
+    assert obs.shape == env.observation_space.shape
+    assert env.observation_space.dtype == np.float32
+    # Spaces: Discrete-like action space with n/sample/contains.
+    assert env.action_space.n == 4
+    a = env.action_space.sample()
+    assert env.action_space.contains(a)
+    # Documented info keys.
+    _, r, _, info = env.step(3)
+    for key in ("hidden_reward", "observed_reward", "hidden_return"):
+        assert key in info, info.keys()
+    assert info["observed_reward"] == r
+    # Classic teardown + unwrapped.
+    assert env.unwrapped is env
+    env.close()
+    # seed() → reset() is reproducible (same stream as reset(seed=...)).
+    env.seed(3)
+    o1 = env.reset()
+    o2 = env.reset(seed=3)
+    np.testing.assert_array_equal(o1, o2)
+    # Every registered id constructs.
+    for gym_id in GYM_ID_REGISTRY:
+        make(gym_id)
