@@ -101,23 +101,11 @@ class PPOAgent(Agent):
             params=params, opt_state=self.tx.init(params), step=jnp.int32(0)
         )
 
-    def render_batch(self, env_states):
-        """Network inputs from stacked compact env states: rendered one-hot
-        planes (MLP/CNN/pallas) or bare state indices (table net). Rendering
-        happens ONCE per transition — the collect loop stores these features
-        and the multi-epoch optimizer re-gathers them, instead of re-rendering
-        the whole batch every epoch (a 4× render saving at epochs=4)."""
-        if getattr(self, "_table_net", False):
-            return env_states.idx
-        return self._v_observe(env_states)
-
-    def policy_value_rendered(self, params, feats):
-        """Batched (logits, value) from pre-rendered features."""
-        return self.net.apply(params, feats)
-
     def policy_value(self, params, env_states):
         """Batched (logits, value) from stacked compact env states."""
-        return self.policy_value_rendered(params, self.render_batch(env_states))
+        if getattr(self, "_table_net", False):
+            return self.net.apply(params, env_states.idx)
+        return self.net.apply(params, self._v_observe(env_states))
 
     def for_env(self, env):
         c = super().for_env(env)
@@ -142,14 +130,7 @@ class PPOAgent(Agent):
 
     def sample_action(self, params, env_states, key):
         """(action, log_prob, value) for the collect phase."""
-        return self.sample_action_rendered(
-            params, self.render_batch(env_states), key
-        )
-
-    def sample_action_rendered(self, params, feats, key):
-        """``sample_action`` from pre-rendered features (the collect loop
-        renders once and stores the features for the optimizer)."""
-        logits, value = self.policy_value_rendered(params, feats)
+        logits, value = self.policy_value(params, env_states)
         action = jax.random.categorical(key, logits).astype(jnp.int32)
         logp = jax.nn.log_softmax(logits)
         logp_a = jnp.take_along_axis(logp, action[:, None], axis=-1).squeeze(-1)
@@ -167,11 +148,11 @@ class PPOAgent(Agent):
     def loss(self, params, batch, entropy_coef=None) -> jnp.ndarray:
         """Clipped surrogate + value + entropy over one flat minibatch.
 
-        ``batch`` dict leaves: obs (pre-rendered features [B, ...] from
-        ``render_batch``), actions, old_logp, advantages, returns — all [B].
-        ``entropy_coef`` overrides the static bonus (annealing schedule).
+        ``batch`` dict leaves: states (pytree [B,...]), actions, old_logp,
+        advantages, returns — all [B]. ``entropy_coef`` overrides the static
+        bonus (used by the annealing schedule).
         """
-        logits, value = self.policy_value_rendered(params, batch["obs"])
+        logits, value = self.policy_value(params, batch["states"])
         logp = jax.nn.log_softmax(logits)
         logp_a = jnp.take_along_axis(
             logp, batch["actions"][:, None], axis=-1

@@ -65,15 +65,11 @@ class PPOTrainer:
         def body(carry, _):
             vs, k, stats = carry
             k, ka = jax.random.split(k)
-            # Render once; the action sampler consumes the same features the
-            # optimizer will re-gather (no per-epoch re-rendering).
-            feats = agent.render_batch(vs.env)
-            action, logp, value = agent.sample_action_rendered(
-                astate.params, feats, ka
-            )
+            action, logp, value = agent.sample_action(astate.params, vs.env, ka)
+            pre_env = vs.env
             vs, out = self.vec.step(vs, action)
             step_data = {
-                "obs": feats,
+                "states": pre_env,
                 "actions": action,
                 "old_logp": logp,
                 "values": value,
@@ -163,7 +159,9 @@ class PPOTrainer:
         # Per-shard batch: under shard_map the local env count is N/D.
         batch_size = n_steps * traj["actions"].shape[1]
         flat = {
-            "obs": traj["obs"].reshape((batch_size,) + traj["obs"].shape[2:]),
+            "states": jax.tree.map(
+                lambda x: x.reshape((batch_size,) + x.shape[2:]), traj["states"]
+            ),
             "actions": traj["actions"].reshape(batch_size),
             "old_logp": traj["old_logp"].reshape(batch_size),
             "advantages": advantages.reshape(batch_size),
