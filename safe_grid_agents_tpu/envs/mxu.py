@@ -21,9 +21,21 @@ payload is bf16-representable; otherwise f32 with Precision.HIGHEST), so the
 fused rollout is bitwise-identical to ``VecEnv`` over the same actions
 (tests/test_mxu.py).
 
-Scope: deterministic-step, deterministic-reset envs only (stochastic resets
-would need a key per auto-reset; whisky's action noise likewise). The
-generic ``VecEnv`` path remains the reference semantics for everything.
+Scope: ALL 15 compiled aliases. Deterministic envs run the pure matmul path
+(no keys anywhere — the headline bench configuration). Envs with randomness
+run the same matmul core in *stochastic mode*, which carries per-instance
+RNG keys with EXACTLY ``VecEnv``'s split discipline, so every stochastic
+alias is bitwise-identical to ``VecEnv`` over the same reset key and action
+matrix (tests/test_mxu.py):
+
+* stochastic reset (absent's supervisor, interrupt's arming): the reset
+  draw is one ``bernoulli(key, 0.5)`` → the reset index is a 2-way select
+  between the two probed reset states;
+* whisky's drunk action noise: the drunk flag is read with a one-hot
+  matvec against a [S] flag vector and the stumble/random-action draws
+  replicate ``noisy_action`` from the same ``k_step``;
+* tomato's drying: ``stochastic_index`` (bit-clears on the index) runs in
+  front of the one-hot, same draw as the compiled step.
 
 Reference parity note: this module replaces the pycolab sprite step
 (SURVEY.md §2b "pycolab engine") on the benchmark path; behavior is pinned
@@ -49,6 +61,8 @@ class MXUState:
     ep_return: jnp.ndarray  # [N] f32
     ep_hidden: jnp.ndarray  # [N] f32
     ep_len: jnp.ndarray     # [N] i32
+    key: jnp.ndarray        # [N, 2] u32 per-instance keys (stochastic mode;
+                            # zeros and unused in the deterministic path)
 
 
 class MXUVecEnv:
@@ -62,20 +76,19 @@ class MXUVecEnv:
     N_FIELDS = 4  # next_idx, reward, hidden, done
 
     def __init__(self, cenv: CompiledEnv, n_envs: int):
-        if cenv._noisy:
-            raise ValueError(f"{cenv.name}: action noise needs per-step keys")
-        if cenv._stochastic_index:
-            raise ValueError(
-                f"{cenv.name}: stochastic index hook (drying) needs per-step "
-                "keys — use VecEnv over the compiled env"
-            )
         self.cenv = cenv
         self.n_envs = n_envs
         self.S, self.A = cenv.num_states, cenv.n_actions
         self.max_steps = int(cenv.max_steps)
+        self._noisy = cenv._noisy
+        self._stoch_index = cenv._stochastic_index
 
-        # Deterministic-reset gate: carry_reset from several reachable states
-        # under several keys must land on one index.
+        # Reset support: probe carry_reset from several reachable states and
+        # reset() under several keys. One index → deterministic reset (the
+        # pure-matmul headline path). Two indices → the reset draw is the
+        # env's documented single bernoulli(key, 0.5) (absent supervisor /
+        # interrupt arming): map bit → index by probing a known-True and a
+        # known-False key so the runtime reset is a 2-way select.
         from .compiled import TableState
 
         idxs = set()
@@ -87,11 +100,29 @@ class MXUVecEnv:
                 idxs.add(int(out.idx))
         for k in range(8):
             idxs.add(int(cenv.reset(jax.random.PRNGKey(k)).idx))
-        if len(idxs) != 1:
-            raise ValueError(
-                f"{cenv.name}: stochastic reset ({sorted(idxs)}) — use VecEnv"
+        if len(idxs) == 1:
+            self._stoch_reset = False
+            self.reset_idx = idxs.pop()
+        elif len(idxs) == 2:
+            self._stoch_reset = True
+            self.reset_idx_bit = [None, None]
+            for s_probe in range(64):
+                k = jax.random.PRNGKey(s_probe)
+                bit = int(jax.random.bernoulli(k, 0.5))
+                self.reset_idx_bit[bit] = int(cenv.reset(k).idx)
+                if None not in self.reset_idx_bit:
+                    break
+            assert None not in self.reset_idx_bit, f"{cenv.name}: probe failed"
+            assert set(self.reset_idx_bit) == idxs, (
+                f"{cenv.name}: reset support {idxs} is not the documented "
+                f"single-coin draw ({self.reset_idx_bit})"
             )
-        self.reset_idx = idxs.pop()
+        else:
+            raise ValueError(
+                f"{cenv.name}: reset support {sorted(idxs)} exceeds one coin "
+                "draw — use VecEnv"
+            )
+        self._stochastic = self._noisy or self._stoch_index or self._stoch_reset
 
         W = np.zeros((self.S, self.A * self.N_FIELDS), np.float32)
         W[:, 0 :: self.N_FIELDS] = cenv.next_table.astype(np.float32)
@@ -108,15 +139,39 @@ class MXUVecEnv:
         self._W = jnp.asarray(W, self._dtype)
 
     # -- core --------------------------------------------------------------
+    def _reset_bits_to_idx(self, keys):
+        """Per-instance reset indices from reset keys: the env's documented
+        single coin draw selects between the two probed reset states."""
+        bit = jax.vmap(lambda k: jax.random.bernoulli(k, 0.5))(keys)
+        return jnp.where(
+            bit,
+            jnp.int32(self.reset_idx_bit[1]),
+            jnp.int32(self.reset_idx_bit[0]),
+        )
+
     def reset(self, key) -> MXUState:
-        del key  # deterministic reset (gated above)
         n = self.n_envs
+        if self._stochastic:
+            # Replicate VecEnv.reset's key discipline exactly: per-instance
+            # key → (env reset key, carried key).
+            keys = jax.random.split(key, n)
+            init = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+            if self._stoch_reset:
+                idx0 = self._reset_bits_to_idx(init[:, 0])
+            else:
+                idx0 = jnp.full((n,), self.reset_idx, jnp.int32)
+            carry = init[:, 1]
+        else:
+            del key  # deterministic reset — the pure-matmul headline path
+            idx0 = jnp.full((n,), self.reset_idx, jnp.int32)
+            carry = jnp.zeros((n, 2), jnp.uint32)
         return MXUState(
-            idx=jnp.full((n,), self.reset_idx, jnp.int32),
+            idx=idx0,
             t=jnp.zeros((n,), jnp.int32),
             ep_return=jnp.zeros((n,), jnp.float32),
             ep_hidden=jnp.zeros((n,), jnp.float32),
             ep_len=jnp.zeros((n,), jnp.int32),
+            key=carry,
         )
 
     def _fields(self, idx, actions):
@@ -137,18 +192,46 @@ class MXUVecEnv:
         return nxt, f[:, 1], f[:, 2], done_env
 
     def _step(self, state: MXUState, actions):
-        nxt, reward, hidden, done_env = self._fields(state.idx, actions)
+        if self._stochastic:
+            # VecEnv._step1's key discipline, vectorized.
+            ks = jax.vmap(lambda k: jax.random.split(k, 3))(state.key)
+            k_step, k_reset, next_key = ks[:, 0], ks[:, 1], ks[:, 2]
+            idx = state.idx
+            if self._noisy:
+                # Same code path CompiledEnv.step takes: reconstruct base
+                # states (cheap [N] gathers) and call the env's own hook —
+                # identical draws by construction.
+                from .compiled import TableState
+
+                bstates = self.cenv.base_state(
+                    TableState(idx=state.idx, t=state.t)
+                )
+                actions = jax.vmap(self.cenv.base.noisy_action)(
+                    bstates, actions, k_step
+                )
+            if self._stoch_index:
+                idx = jax.vmap(self.cenv.base.stochastic_index)(idx, k_step)
+            nxt, reward, hidden, done_env = self._fields(idx, actions)
+            if self._stoch_reset:
+                reset_idx = self._reset_bits_to_idx(k_reset)
+            else:
+                reset_idx = jnp.int32(self.reset_idx)
+        else:
+            nxt, reward, hidden, done_env = self._fields(state.idx, actions)
+            reset_idx = jnp.int32(self.reset_idx)
+            next_key = state.key
         t = state.t + 1
         done = done_env | (t >= self.max_steps)
         ep_return = state.ep_return + reward
         ep_hidden = state.ep_hidden + hidden
         ep_len = state.ep_len + 1
         new = MXUState(
-            idx=jnp.where(done, self.reset_idx, nxt),
+            idx=jnp.where(done, reset_idx, nxt),
             t=jnp.where(done, 0, t),
             ep_return=jnp.where(done, 0.0, ep_return),
             ep_hidden=jnp.where(done, 0.0, ep_hidden),
             ep_len=jnp.where(done, 0, ep_len),
+            key=next_key,
         )
         out = dict(
             reward=reward,

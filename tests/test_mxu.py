@@ -14,9 +14,12 @@ from safe_grid_agents_tpu.envs.compiled import compile_env
 from safe_grid_agents_tpu.envs.mxu import MXUVecEnv
 from safe_grid_agents_tpu.envs.vec import VecEnv
 
-# Deterministic-step + deterministic-reset aliases (MXU-eligible).
+# All compiled aliases are MXU-eligible: deterministic envs run the pure
+# matmul path; stochastic ones (absent/interrupt resets, whisky noise,
+# tomato drying) carry per-instance keys with VecEnv's split discipline.
 MXU_ALIASES = ["shift", "shift-test", "island", "sokoban", "boat",
-               "conveyor", "conveyor-sushi", "corners", "way", "toy"]
+               "conveyor", "conveyor-sushi", "corners", "way", "toy",
+               "absent", "interrupt", "whisky", "tomato", "tomato-crmdp"]
 
 
 @pytest.mark.parametrize("alias", MXU_ALIASES)
@@ -53,24 +56,31 @@ def test_mxu_matches_vecenv(alias):
         np.asarray(vstate.ep_return), np.asarray(mstate.ep_return))
     np.testing.assert_array_equal(
         np.asarray(vstate.ep_len), np.asarray(mstate.ep_len))
+    if MXUVecEnv(cenv, 1)._stochastic:
+        # Stochastic mode must consume VecEnv's exact key stream.
+        np.testing.assert_array_equal(
+            np.asarray(vstate.key), np.asarray(mstate.key),
+            err_msg=f"{alias}: diverged key streams",
+        )
 
 
-def test_mxu_rejects_stochastic_reset():
-    cenv = compile_env(make_env("absent"))  # supervisor presence drawn at reset
-    with pytest.raises(ValueError, match="stochastic reset"):
-        MXUVecEnv(cenv, 8)
+def test_mxu_deterministic_mode_has_no_keys():
+    """The headline path must remain key-free (pure matmul, no threefry)."""
+    cenv = compile_env(make_env("shift"))
+    mxu = MXUVecEnv(cenv, 8)
+    assert not mxu._stochastic
+    st = mxu.reset(jax.random.PRNGKey(0))
+    assert (np.asarray(st.key) == 0).all()
 
 
-def test_mxu_rejects_noisy_actions():
-    cenv = compile_env(make_env("whisky"))  # drunk action noise needs keys
-    with pytest.raises(ValueError, match="needs per-step keys"):
-        MXUVecEnv(cenv, 8)
-
-
-def test_mxu_rejects_stochastic_index():
-    cenv = compile_env(make_env("tomato"))  # per-step drying needs keys
-    with pytest.raises(ValueError, match="stochastic index"):
-        MXUVecEnv(cenv, 8)
+def test_mxu_stochastic_reset_distribution():
+    """absent: supervisor-present rate over many resets ≈ 0.5."""
+    cenv = compile_env(make_env("absent"))
+    mxu = MXUVecEnv(cenv, 4096)
+    assert mxu._stoch_reset
+    st = mxu.reset(jax.random.PRNGKey(1))
+    frac = (np.asarray(st.idx) == mxu.reset_idx_bit[1]).mean()
+    assert abs(frac - 0.5) < 0.05, frac
 
 
 def test_mxu_reduced_acc_matches_run_actions():
