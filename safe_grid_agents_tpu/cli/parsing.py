@@ -32,6 +32,9 @@ AGENT_FLAGS: Dict[str, Dict[str, tuple]] = {
         # ``hidden`` tuple in agent_kwargs().
         "--n-layers": (int, "hidden layers in the policy/Q net"),
         "--n-hidden": (int, "units per hidden layer"),
+        "--table-net": (bool, "fold the compiled env's observation table "
+                              "into the first dense layer (fastest net; "
+                              "requires --compiled; deep-q and ppo-mlp)"),
     },
     "deep-q": {
         "--batch-size": (int, "replay sample size per update"),
@@ -224,4 +227,19 @@ def agent_kwargs(args: argparse.Namespace) -> Dict[str, Any]:
     n_hidden = out.pop("n_hidden", None)
     if n_layers is not None or n_hidden is not None:
         out["hidden"] = (n_hidden or 128,) * (n_layers or 2)
+    # --table-net: the table-folded fast path (compiled envs only). Checked
+    # against args directly (not the group-filtered dict) so passing it with
+    # an incompatible agent fails loudly instead of being silently dropped.
+    out.pop("table_net", None)
+    if getattr(args, "table_net", None):
+        if not args.compiled:
+            raise SystemExit("--table-net requires --compiled")
+        if args.agent == "deep-q":
+            out["table"] = True
+        elif args.agent == "ppo-mlp":
+            out["net"] = "table"
+        else:
+            raise SystemExit(
+                f"--table-net supports deep-q and ppo-mlp, not {args.agent!r}"
+            )
     return out

@@ -191,3 +191,24 @@ def test_no_flag_overrides_preset_bool():
     argv = ["island", "deep-q", "--preset"]
     args = apply_preset(prepare_parser().parse_args(argv), argv)
     assert args.double_q is True
+
+
+def test_table_net_flag():
+    """--table-net folds the obs table into layer 1 (deep-q: table=True,
+    ppo-mlp: net='table'); rejected without --compiled or for other agents."""
+    import pytest
+
+    from safe_grid_agents_tpu.cli.parsing import agent_kwargs, prepare_parser
+
+    args = prepare_parser().parse_args(
+        ["sokoban", "deep-q", "--compiled", "--table-net"])
+    assert agent_kwargs(args).get("table") is True
+    args = prepare_parser().parse_args(
+        ["shift", "ppo-mlp", "--compiled", "--table-net"])
+    assert agent_kwargs(args).get("net") == "table"
+    with pytest.raises(SystemExit):
+        agent_kwargs(prepare_parser().parse_args(
+            ["shift", "ppo-mlp", "--table-net"]))
+    with pytest.raises(SystemExit):
+        agent_kwargs(prepare_parser().parse_args(
+            ["shift", "tabular-q", "--compiled", "--table-net"]))
