@@ -82,6 +82,16 @@ def main():
         )
         report(f"tabular-q/shift [{tag}]", rate)
 
+    # Index-native tabular trainer on the MXU fused engine (--mxu).
+    from safe_grid_agents_tpu.envs.mxu import MXUVecEnv
+    from safe_grid_agents_tpu.training.tabular_mxu import MXUTabularQTrainer
+
+    env = make_env("shift", compiled=True)
+    rate = measure(
+        MXUTabularQTrainer(TabularQAgent(env), MXUVecEnv(env, n)), c
+    )
+    report("tabular-q/shift [mxu]", rate)
+
     env = make_env("sokoban", compiled=True)
     rate = measure(
         DQNTrainer(

@@ -60,19 +60,26 @@ class TabularQAgent(Agent):
         frac = jnp.clip(step / self.epsilon_anneal_steps, 0.0, 1.0)
         return self.epsilon + frac * (self.epsilon_final - self.epsilon)
 
-    def act(self, astate: TabularQState, env_states, key):
+    def act_idx(self, astate: TabularQState, idx, key):
+        """Greedy actions from raw state indices (engine-agnostic: VecEnv
+        states go through ``state_index``; the MXU engine carries indices
+        natively)."""
         del key
-        idx = self._v_index(env_states)
         return jnp.argmax(astate.q[idx], axis=-1).astype(jnp.int32)
 
-    def act_explore(self, astate: TabularQState, env_states, key):
-        idx = self._v_index(env_states)
+    def act_explore_idx(self, astate: TabularQState, idx, key):
         n = idx.shape[0]
         k1, k2 = jax.random.split(key)
         greedy = jnp.argmax(astate.q[idx], axis=-1).astype(jnp.int32)
         rand = jax.random.randint(k1, (n,), 0, self.env.n_actions)
         explore = jax.random.bernoulli(k2, self.current_epsilon(astate.step), (n,))
         return jnp.where(explore, rand, greedy)
+
+    def act(self, astate: TabularQState, env_states, key):
+        return self.act_idx(astate, self._v_index(env_states), key)
+
+    def act_explore(self, astate: TabularQState, env_states, key):
+        return self.act_explore_idx(astate, self._v_index(env_states), key)
 
     def learn(
         self,

@@ -43,15 +43,27 @@ def run(argv=None) -> dict:
     ensure_initialized()
 
     env = make_env(args.env, compiled=args.compiled)
-    vec = VecEnv(env, args.n_envs)
-    agent = make_agent(args.agent, env, **agent_kwargs(args))
+    if getattr(args, "mxu", False):
+        # MXU fused-engine trainer (tabular only: its act/learn is
+        # index-native, so the whole loop rides the matmul engine).
+        if not args.compiled or args.agent != "tabular-q":
+            raise SystemExit("--mxu requires --compiled and tabular-q")
+        from ..envs.mxu import MXUVecEnv
+        from ..training.tabular_mxu import MXUTabularQTrainer
 
-    trainer_kwargs = {}
-    if args.agent == "deep-q":
-        trainer_kwargs["updates_per_chunk"] = args.updates_per_chunk
-    if args.agent != "ppo-crmdp":
-        trainer_kwargs["cheat"] = args.cheat
-    trainer = make_trainer(args.agent, agent, vec, **trainer_kwargs)
+        vec = MXUVecEnv(env, args.n_envs)
+        agent = make_agent(args.agent, env, **agent_kwargs(args))
+        trainer = MXUTabularQTrainer(agent, vec, cheat=args.cheat)
+    else:
+        vec = VecEnv(env, args.n_envs)
+        agent = make_agent(args.agent, env, **agent_kwargs(args))
+
+        trainer_kwargs = {}
+        if args.agent == "deep-q":
+            trainer_kwargs["updates_per_chunk"] = args.updates_per_chunk
+        if args.agent != "ppo-crmdp":
+            trainer_kwargs["cheat"] = args.cheat
+        trainer = make_trainer(args.agent, agent, vec, **trainer_kwargs)
 
     if args.tp > 1:
         # dp×tp GSPMD runtime: dense layers shard over 'model', envs over

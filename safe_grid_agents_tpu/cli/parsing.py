@@ -109,6 +109,10 @@ def prepare_parser() -> argparse.ArgumentParser:
     run.add_argument("--compiled", action="store_true",
                      help="lower the env to the lookup-table engine (bitwise-"
                           "identical, fastest; enumerable envs only)")
+    run.add_argument("--mxu", action="store_true",
+                     help="step the env on the MXU fused rollout engine "
+                          "(requires --compiled; tabular-q only — its "
+                          "act/learn path is index-native)")
     run.add_argument("--n-devices", type=int, default=1,
                      help="devices in the mesh (data axis, divided by --tp)")
     run.add_argument("--tp", type=int, default=1,

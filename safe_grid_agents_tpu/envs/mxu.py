@@ -240,8 +240,15 @@ class MXUVecEnv:
             finished_return=ep_return,
             finished_hidden=ep_hidden,
             finished_len=ep_len,
+            # Pre-reset successor index (the terminal successor state) —
+            # replay/TD learners bootstrap from this, masked by done.
+            next_idx=nxt,
         )
         return new, out
+
+    def step(self, state: MXUState, actions):
+        """Public single-step API (mirrors VecEnv.step's (state, out))."""
+        return self._step(state, actions)
 
     # -- public API (bench + parity) ----------------------------------------
     def run_actions(self, state: MXUState, actions_tn) -> Tuple[MXUState, dict]:

@@ -153,5 +153,6 @@ def _is_statless(trainer) -> bool:
     """Trainers whose train_chunk returns 3 outputs (no loss scalar)."""
     from ..training.dummy import DummyTrainer
     from ..training.tabular import TabularQTrainer
+    from ..training.tabular_mxu import MXUTabularQTrainer
 
-    return isinstance(trainer, (TabularQTrainer, DummyTrainer))
+    return isinstance(trainer, (TabularQTrainer, MXUTabularQTrainer, DummyTrainer))

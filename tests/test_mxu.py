@@ -104,3 +104,49 @@ def test_mxu_reduced_acc_matches_run_actions():
     np.testing.assert_allclose(
         float(acc["finished_return_sum"]), float(fin), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(mstate2.idx), np.asarray(mstate3.idx))
+
+
+def test_mxu_tabular_trainer_learns_shift():
+    """The MXU-engine tabular trainer reaches the same optimum as the VecEnv
+    one (engine-agnostic agent.learn; index-native act path)."""
+    from safe_grid_agents_tpu.agents.tabular import TabularQAgent
+    from safe_grid_agents_tpu.training.common import stats_to_host
+    from safe_grid_agents_tpu.training.tabular_mxu import MXUTabularQTrainer
+
+    cenv = compile_env(make_env("shift"))
+    agent = TabularQAgent(cenv, lr=0.2, epsilon_anneal_steps=20_000)
+    tr = MXUTabularQTrainer(agent, MXUVecEnv(cenv, 64))
+    astate, mstate = tr.init(jax.random.PRNGKey(0))
+    chunk = jax.jit(tr.train_chunk, static_argnums=3)
+    echunk = jax.jit(tr.eval_chunk, static_argnums=3)
+    key = jax.random.PRNGKey(1)
+    best = -1e9
+    for i in range(10):
+        key, k = jax.random.split(key)
+        astate, mstate, stats = chunk(astate, mstate, k, 128)
+        if i >= 6:
+            _, es = echunk(astate, tr.vec.reset(jax.random.PRNGKey(7)), k, 30)
+            best = max(best, stats_to_host(es)["mean_return"])
+    assert best == 40.0, f"MXU tabular trainer best eval {best}"
+
+
+def test_mxu_tabular_trainer_dp():
+    """Same trainer under the DP wrapper on the 8-virtual-device mesh."""
+    from safe_grid_agents_tpu.agents.tabular import TabularQAgent
+    from safe_grid_agents_tpu.parallel import DPTrainer, make_mesh
+    from safe_grid_agents_tpu.training.common import stats_to_host
+    from safe_grid_agents_tpu.training.tabular_mxu import MXUTabularQTrainer
+
+    cenv = compile_env(make_env("shift"))
+    agent = TabularQAgent(cenv, lr=0.2, epsilon_anneal_steps=20_000)
+    tr = DPTrainer(
+        MXUTabularQTrainer(agent, MXUVecEnv(cenv, 64)), make_mesh()
+    )
+    astate, mstate = tr.init(jax.random.PRNGKey(0))
+    chunk = jax.jit(tr.train_chunk, static_argnums=3)
+    key = jax.random.PRNGKey(1)
+    for _ in range(8):
+        key, k = jax.random.split(key)
+        astate, mstate, stats = chunk(astate, mstate, k, 128)
+    _, es = jax.jit(tr.eval_chunk, static_argnums=3)(astate, mstate, key, 30)
+    assert stats_to_host(es)["mean_return"] > 35.0
