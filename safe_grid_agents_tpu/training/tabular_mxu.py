@@ -38,6 +38,55 @@ def _accumulate(stats: ChunkStats, out: dict) -> ChunkStats:
     )
 
 
+def _q_rows(q, idx):
+    """Q[idx] as a one-hot matmul — exact row reads (each dot selects one
+    table entry), bitwise-identical to the gather, ~3 µs vs ~23 µs at N=4096."""
+    oh = jax.nn.one_hot(idx, q.shape[0], dtype=q.dtype)
+    return jnp.matmul(oh, q, precision=jax.lax.Precision.HIGHEST)
+
+
+def _learn_matmul(
+    agent: TabularQAgent, astate: TabularQState,
+    s_idx, actions, rewards, next_idx, dones,
+    axis_name: str | None = None,
+) -> TabularQState:
+    """``TabularQAgent.learn`` re-expressed as one-hot matmuls.
+
+    Same duplicate-averaged batched TD (docstring in agents/tabular.py), but
+    the per-step [S, A] scatter-adds and row gathers — ~50 µs of real device
+    time at N=4096 — become four tiny MXU matmuls (~3 µs each):
+
+        q_next  = onehot(next_idx) @ Q            (row reads — exact)
+        q_sa    = ((onehot(s) @ Q) * onehot(a)).sum(-1)
+        td_sum  = onehot(s).T @ (onehot(a) * td)  (scatter-accumulate)
+        cnt     = onehot(s).T @ onehot(a)
+
+    One-hot row dots are exact table reads; the accumulation matmuls sum the
+    same TD terms as the scatter, in a different float association — values
+    match the scatter version to float-sum reassociation (ints exactly), and
+    the learning-curve tests reach the identical optimum."""
+    q = astate.q
+    S, A = q.shape
+    hi = jax.lax.Precision.HIGHEST
+    q_next = _q_rows(q, next_idx)                                   # [N, A]
+    target = rewards + agent.discount * jnp.where(
+        dones, 0.0, q_next.max(-1)
+    )
+    oh_s = jax.nn.one_hot(s_idx, S, dtype=q.dtype)
+    oh_a = jax.nn.one_hot(actions, A, dtype=q.dtype)
+    q_sa = (jnp.matmul(oh_s, q, precision=hi) * oh_a).sum(-1)
+    td = target - q_sa
+    td_sum = jnp.matmul(oh_s.T, oh_a * td[:, None], precision=hi)   # [S, A]
+    cnt = jnp.matmul(oh_s.T, oh_a, precision=hi)
+    n = jnp.int32(s_idx.shape[0])
+    if axis_name is not None:
+        td_sum = jax.lax.psum(td_sum, axis_name)
+        cnt = jax.lax.psum(cnt, axis_name)
+        n = jax.lax.psum(n, axis_name)
+    delta = agent.lr * td_sum / jnp.maximum(cnt, 1.0)
+    return TabularQState(q=q + delta, step=astate.step + n)
+
+
 class MXUTabularQTrainer:
     """Drop-in counterpart of ``TabularQTrainer`` running on ``MXUVecEnv``."""
 
@@ -64,9 +113,18 @@ class MXUTabularQTrainer:
             astate, st, k, stats = carry
             k, ka = jax.random.split(k)
             s_idx = st.idx
-            actions = agent.act_explore_idx(astate, s_idx, ka)
+            # ε-greedy with the greedy read as a one-hot matmul (same draws
+            # as agent.act_explore_idx, same argmax — identical actions).
+            k1, k2 = jax.random.split(ka)
+            greedy = jnp.argmax(_q_rows(astate.q, s_idx), -1).astype(jnp.int32)
+            rand = jax.random.randint(k1, s_idx.shape, 0, agent.env.n_actions)
+            explore = jax.random.bernoulli(
+                k2, agent.current_epsilon(astate.step), s_idx.shape
+            )
+            actions = jnp.where(explore, rand, greedy)
             st, out = self.vec.step(st, actions)
-            astate = agent.learn(
+            astate = _learn_matmul(
+                agent,
                 astate,
                 s_idx,
                 actions,
@@ -88,7 +146,7 @@ class MXUTabularQTrainer:
         def body(carry, _):
             st, k, stats = carry
             k, ka = jax.random.split(k)
-            actions = agent.act_idx(astate, st.idx, ka)
+            actions = jnp.argmax(_q_rows(astate.q, st.idx), -1).astype(jnp.int32)
             st, out = self.vec.step(st, actions)
             return (st, k, _accumulate(stats, out)), None
 
