@@ -104,6 +104,19 @@ def main():
     )
     report("deep-q/sokoban [compiled]", rate)
 
+    from safe_grid_agents_tpu.training.dqn_mxu import MXUDQNTrainer
+
+    rate = measure(
+        MXUDQNTrainer(
+            DQNAgent(env, replay_capacity=1 << 20, batch_size=1024),
+            MXUVecEnv(env, n),
+            updates_per_chunk=max(1, c // 8),
+        ),
+        c,
+        warmup=16,
+    )
+    report("deep-q/sokoban [mxu]", rate)
+
     for net in ("mlp", "pallas", "table"):
         env = make_env("island", compiled=True)
         rate = measure(

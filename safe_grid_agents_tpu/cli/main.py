@@ -44,16 +44,26 @@ def run(argv=None) -> dict:
 
     env = make_env(args.env, compiled=args.compiled)
     if getattr(args, "mxu", False):
-        # MXU fused-engine trainer (tabular only: its act/learn is
-        # index-native, so the whole loop rides the matmul engine).
-        if not args.compiled or args.agent != "tabular-q":
-            raise SystemExit("--mxu requires --compiled and tabular-q")
+        # MXU fused-engine trainers: tabular's act/learn is index-native
+        # (the whole loop becomes matmuls); deep-q keeps its agent unchanged
+        # and rides the MXU engine for collect with TableState replay records.
+        if not args.compiled or args.agent not in ("tabular-q", "deep-q"):
+            raise SystemExit("--mxu requires --compiled and tabular-q/deep-q")
         from ..envs.mxu import MXUVecEnv
-        from ..training.tabular_mxu import MXUTabularQTrainer
 
         vec = MXUVecEnv(env, args.n_envs)
         agent = make_agent(args.agent, env, **agent_kwargs(args))
-        trainer = MXUTabularQTrainer(agent, vec, cheat=args.cheat)
+        if args.agent == "tabular-q":
+            from ..training.tabular_mxu import MXUTabularQTrainer
+
+            trainer = MXUTabularQTrainer(agent, vec, cheat=args.cheat)
+        else:
+            from ..training.dqn_mxu import MXUDQNTrainer
+
+            trainer = MXUDQNTrainer(
+                agent, vec, cheat=args.cheat,
+                updates_per_chunk=args.updates_per_chunk,
+            )
     else:
         vec = VecEnv(env, args.n_envs)
         agent = make_agent(args.agent, env, **agent_kwargs(args))

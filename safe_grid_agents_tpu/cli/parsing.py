@@ -111,8 +111,8 @@ def prepare_parser() -> argparse.ArgumentParser:
                           "identical, fastest; enumerable envs only)")
     run.add_argument("--mxu", action="store_true",
                      help="step the env on the MXU fused rollout engine "
-                          "(requires --compiled; tabular-q only — its "
-                          "act/learn path is index-native)")
+                          "(requires --compiled; tabular-q — fully matmul-"
+                          "native — and deep-q with streaming collect)")
     run.add_argument("--n-devices", type=int, default=1,
                      help="devices in the mesh (data axis, divided by --tp)")
     run.add_argument("--tp", type=int, default=1,
