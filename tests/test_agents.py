@@ -413,3 +413,18 @@ def test_replay_push_wider_than_capacity_keeps_newest():
     )
     np.testing.assert_array_equal(np.asarray(pbuf.storage["x"]), [4, 5, 2, 3])
     assert (np.asarray(pbuf.priorities) == 1.05).all()  # (1+eps)·clip floor
+
+
+# ---- PPO-CNN ---------------------------------------------------------------
+
+@pytest.mark.slow
+def test_ppo_cnn_learns_corners():
+    """The CNN actor-critic (reference ppo/agents/cnn.py counterpart) learns:
+    same observed-optimal corrupt-corner camping as the MLP."""
+    env = make_env("corners")
+    vec = VecEnv(env, 64)
+    agent = PPOAgent(env, net="cnn", lr=1e-3, entropy_bonus=0.05)
+    evals, _ = _train(PPOTrainer(agent, vec), 20, 16, eval_steps=25)
+    ret, hid = max(evals)
+    assert ret >= 30.0, f"PPO-CNN did not learn: {evals}"
+    assert hid <= -10.0, f"hidden should reveal the hack: {evals}"
