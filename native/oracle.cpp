@@ -475,6 +475,13 @@ int run_trajectory2(int env_id, const int *actions, int n,
   State st{};
   st.counts[0] = st.counts[1] = 0;
   int ridx = 0;
+  // The INITIAL reset consumes a draw for the same envs as auto-resets do —
+  // guard it identically (an under-supplied harness would otherwise read
+  // reset_draws[0] out of bounds before the in-loop guard could fire).
+  if (n_reset_draws < 1 &&
+      (env_id == ENV_INTERRUPT || env_id == ENV_ABSENT ||
+       (env_id >= ENV_FRIEND && env_id <= ENV_NEUTRAL)))
+    return -2;
   reset_state(env_id, s, st, reset_draws, ridx);
   for (int i = 0; i < n; i++) {
     bool done;

@@ -46,9 +46,14 @@ def run(argv=None) -> dict:
     if getattr(args, "mxu", False):
         # MXU fused-engine trainers: tabular's act/learn is index-native
         # (the whole loop becomes matmuls); deep-q keeps its agent unchanged
-        # and rides the MXU engine for collect with TableState replay records.
-        if not args.compiled or args.agent not in ("tabular-q", "deep-q"):
-            raise SystemExit("--mxu requires --compiled and tabular-q/deep-q")
+        # and rides the MXU engine for collect with TableState replay
+        # records; the PPO family collects index-native rollouts and runs
+        # the fast optimize layout (training/ppo_mxu.py).
+        mxu_agents = ("tabular-q", "deep-q", "ppo-mlp", "ppo-cnn", "ppo-crmdp")
+        if not args.compiled or args.agent not in mxu_agents:
+            raise SystemExit(
+                f"--mxu requires --compiled and one of {mxu_agents}"
+            )
         from ..envs.mxu import MXUVecEnv
 
         vec = MXUVecEnv(env, args.n_envs)
@@ -57,13 +62,21 @@ def run(argv=None) -> dict:
             from ..training.tabular_mxu import MXUTabularQTrainer
 
             trainer = MXUTabularQTrainer(agent, vec, cheat=args.cheat)
-        else:
+        elif args.agent == "deep-q":
             from ..training.dqn_mxu import MXUDQNTrainer
 
             trainer = MXUDQNTrainer(
                 agent, vec, cheat=args.cheat,
                 updates_per_chunk=args.updates_per_chunk,
             )
+        elif args.agent == "ppo-crmdp":
+            from ..training.ppo_mxu import MXUCRMDPTrainer
+
+            trainer = MXUCRMDPTrainer(agent, vec)
+        else:
+            from ..training.ppo_mxu import MXUPPOTrainer
+
+            trainer = MXUPPOTrainer(agent, vec, cheat=args.cheat)
     else:
         vec = VecEnv(env, args.n_envs)
         agent = make_agent(args.agent, env, **agent_kwargs(args))
@@ -92,7 +105,46 @@ def run(argv=None) -> dict:
     key, k_init = jax.random.split(key)
     astate, vstate = trainer.init(k_init)
 
-    chunk = jax.jit(trainer.train_chunk, static_argnums=3)
+    # --chunks-per-dispatch: scan K train chunks inside one jit so a whole
+    # logging interval runs as a single device dispatch (the axon tunnel
+    # costs ~25-30 ms per round-trip — at MXU-PPO speed that is more than a
+    # 64-step chunk's entire device work; see PERF.md dispatch-amortization).
+    K = args.chunks_per_dispatch
+    if K > 1:
+        import jax.numpy as jnp  # noqa: F811
+
+        def _multi_chunk(astate, vstate, key, n_steps):
+            def body(carry, _):
+                a, v, k = carry
+                k, kc = jax.random.split(k)
+                out = trainer.train_chunk(a, v, kc, n_steps)
+                return (out[0], out[1], k), (out[2],) + tuple(out[3:])
+
+            (astate, vstate, _), ys = jax.lax.scan(
+                body, (astate, vstate, key), None, length=K
+            )
+            stats = jax.tree.map(lambda x: x.sum(0), ys[0])
+            return (astate, vstate, stats) + tuple(y.mean(0) for y in ys[1:])
+
+        chunk = jax.jit(_multi_chunk, static_argnums=3)
+    else:
+        chunk = jax.jit(trainer.train_chunk, static_argnums=3)
+
+    # --eval-episodes: greedy eval runs until ≥E episodes finish (reference
+    # SURVEY.md §2a #4). The step bound is sized so the target is always
+    # reachable: every instance finishes ≥1 episode per env.max_steps steps
+    # (timeout), so ceil(E/N)+1 timeout rounds suffice.
+    min_eps = args.eval_episodes
+    if min_eps:
+        import math
+
+        eval_steps = max(
+            args.eval_steps,
+            (math.ceil(min_eps / args.n_envs) + 1) * int(env.max_steps),
+        )
+    else:
+        eval_steps = args.eval_steps
+
     if args.eval_env:
         # Distributional-shift protocol: greedy eval on a different layout.
         from ..training.common import eval_chunk as _generic_eval
@@ -106,7 +158,8 @@ def run(argv=None) -> dict:
             k_reset, k_steps = jax.random.split(key)
             evs = eval_vec.reset(k_reset)
             return _generic_eval(
-                eval_vec, eval_agent.act, astate, evs, k_steps, n_steps
+                eval_vec, eval_agent.act, astate, evs, k_steps, n_steps,
+                min_episodes=min_eps,
             )
 
         echunk = jax.jit(_eval, static_argnums=3)
@@ -117,7 +170,8 @@ def run(argv=None) -> dict:
             del vstate
             k_reset, k_steps = jax.random.split(key)
             return trainer.eval_chunk(
-                astate, trainer_reset(k_reset), k_steps, n_steps
+                astate, trainer_reset(k_reset), k_steps, n_steps,
+                min_episodes=min_eps,
             )
 
         if args.n_devices > 1:
@@ -127,7 +181,7 @@ def run(argv=None) -> dict:
         echunk = jax.jit(_eval, static_argnums=3)
 
     start_chunk = 0
-    n_chunks = max(1, args.steps // (args.chunk_steps * args.n_envs))
+    n_chunks = max(1, args.steps // (args.chunk_steps * args.n_envs * K))
 
     if args.checkpoint_dir and args.resume:
         step, state = ckpt.restore_latest_valid(
@@ -160,7 +214,7 @@ def run(argv=None) -> dict:
             p0 = min(start_chunk + 1, n_chunks - 1)
             profile_span = (p0, min(p0 + 2, n_chunks - 1))
 
-    env_steps = start_chunk * args.chunk_steps * args.n_envs
+    env_steps = start_chunk * args.chunk_steps * args.n_envs * K
     final_stats = {}
     for i in range(start_chunk, n_chunks):
         if profile_span and i == profile_span[0]:
@@ -169,7 +223,7 @@ def run(argv=None) -> dict:
         out = chunk(astate, vstate, k, args.chunk_steps)
         astate, vstate = out[0], out[1]
         stats = out[2]
-        env_steps += args.chunk_steps * args.n_envs
+        env_steps += args.chunk_steps * args.n_envs * K
         if profile_span and i == profile_span[1]:
             jax.block_until_ready(stats.episodes)
             jax.profiler.stop_trace()
@@ -181,7 +235,7 @@ def run(argv=None) -> dict:
                 s["loss"] = float(out[3])
             logger.log(env_steps, s, "train")
             key, ke = jax.random.split(key)
-            _, es = echunk(astate, vstate, ke, args.eval_steps)
+            _, es = echunk(astate, vstate, ke, eval_steps)
             final_stats = stats_to_host(es)
             logger.log(env_steps, final_stats, "eval")
 

@@ -100,10 +100,19 @@ def prepare_parser() -> argparse.ArgumentParser:
     run.add_argument("--n-envs", type=int, default=128, help="vectorized env instances")
     run.add_argument("--steps", type=int, default=500_000, help="total env steps")
     run.add_argument("--chunk-steps", type=int, default=64, help="env steps per fused chunk")
+    run.add_argument("--chunks-per-dispatch", type=int, default=1,
+                     help="train chunks scanned inside ONE device dispatch "
+                          "(amortizes host/tunnel round-trip latency; stats "
+                          "are merged per dispatch, so logging/eval/"
+                          "checkpoint cadence counts dispatches)")
     run.add_argument("--eval-every", "--eval-period", dest="eval_every",
                      type=int, default=20,
                      help="eval every N chunks (reference: --eval-period)")
     run.add_argument("--eval-steps", type=int, default=120, help="greedy eval steps")
+    run.add_argument("--eval-episodes", type=int, default=None,
+                     help="run each eval until at least this many episodes "
+                          "finish (reference --eval-episodes); the step "
+                          "bound grows as needed via the episode timeout")
     run.add_argument("--cheat", action="store_true",
                      help="train on the hidden performance signal (debug upper bound)")
     run.add_argument("--compiled", action="store_true",
@@ -111,8 +120,10 @@ def prepare_parser() -> argparse.ArgumentParser:
                           "identical, fastest; enumerable envs only)")
     run.add_argument("--mxu", action="store_true",
                      help="step the env on the MXU fused rollout engine "
-                          "(requires --compiled; tabular-q — fully matmul-"
-                          "native — and deep-q with streaming collect)")
+                          "(requires --compiled): tabular-q is fully matmul-"
+                          "native, deep-q collects streaming TableState "
+                          "records, and the ppo family collects index-native "
+                          "rollouts with the fast optimize layout")
     run.add_argument("--n-devices", type=int, default=1,
                      help="devices in the mesh (data axis, divided by --tp)")
     run.add_argument("--tp", type=int, default=1,

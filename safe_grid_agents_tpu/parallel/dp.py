@@ -130,12 +130,20 @@ class DPTrainer:
         f = self._shard_map(local, astate, vstate)
         return f(astate, vstate, keys)
 
-    def eval_chunk(self, astate, vstate, key, n_steps: int):
+    def eval_chunk(self, astate, vstate, key, n_steps: int, min_episodes=None):
         keys = jax.random.split(key, self.n_dev)
+        # Each shard satisfies its share of the episode target locally (the
+        # while-loop condition must stay shard-local: a psum in the loop
+        # condition would deadlock shards that finish at different times).
+        local_eps = (
+            None if min_episodes is None
+            else max(1, min_episodes // self.n_dev)
+        )
 
         def local(astate, vstate_shard, key_shard):
             vstate_shard, stats = self.trainer.eval_chunk(
-                astate, vstate_shard, key_shard[0], n_steps
+                astate, vstate_shard, key_shard[0], n_steps,
+                min_episodes=local_eps,
             )
             return vstate_shard, _psum_stats(stats)
 

@@ -122,5 +122,7 @@ class GSPMDTrainer:
     def warmup_chunk(self, astate, vstate, key, n_steps: int):
         return self.trainer.warmup_chunk(astate, vstate, key, n_steps)
 
-    def eval_chunk(self, astate, vstate, key, n_steps: int):
-        return self.trainer.eval_chunk(astate, vstate, key, n_steps)
+    def eval_chunk(self, astate, vstate, key, n_steps: int, min_episodes=None):
+        return self.trainer.eval_chunk(
+            astate, vstate, key, n_steps, min_episodes=min_episodes
+        )

@@ -51,9 +51,21 @@ class ChunkStats:
 
 
 def stats_to_host(stats: ChunkStats) -> Dict[str, float]:
-    eps = max(float(stats.episodes), 1.0)
+    eps = float(stats.episodes)
+    if eps == 0.0:
+        # No episode finished in the window (e.g. a greedy policy that never
+        # terminates inside --eval-steps): report the means as MISSING, not
+        # 0.0 — a genuine zero return must stay distinguishable in the logs.
+        mean = float("nan")
+        return {
+            "episodes": 0.0,
+            "mean_return": mean,
+            "mean_hidden": mean,
+            "mean_length": mean,
+            "env_steps": float(stats.env_steps),
+        }
     return {
-        "episodes": float(stats.episodes),
+        "episodes": eps,
         "mean_return": float(stats.return_sum) / eps,
         "mean_hidden": float(stats.hidden_sum) / eps,
         "mean_length": float(stats.length_sum) / eps,
@@ -74,18 +86,55 @@ def eval_chunk(
     vstate: Any,
     key,
     n_steps: int,
+    min_episodes: int | None = None,
+    state_view: Callable[[Any], Any] | None = None,
+    accumulate: Callable[[ChunkStats, Any], ChunkStats] | None = None,
 ) -> Tuple[Any, ChunkStats]:
-    """Greedy rollout for ``n_steps`` (reference eval.py: greedy episodes,
-    average observed return + hidden performance)."""
+    """Greedy rollout (reference eval.py: greedy episodes, average observed
+    return + hidden performance).
 
-    def body(carry, _):
-        vs, k, stats = carry
+    ``min_episodes=None``: fixed ``n_steps`` scan. ``min_episodes=E``
+    (reference ``--eval-episodes``, SURVEY.md §2a #4): step until ≥E episodes
+    have finished, bounded by ``n_steps`` — a ``lax.while_loop`` with the
+    done-count in the carry. The bound is a hard stop; the caller sizes it so
+    the episode target is reachable (every instance finishes ≥1 episode per
+    ``env.max_steps`` steps via the timeout).
+
+    ``state_view``/``accumulate`` adapt non-VecEnv runtimes (the MXU engine's
+    carry holds indices and its step returns a dict): defaults are VecEnv's
+    ``vs.env`` view and ``ChunkStats.accumulate``."""
+    if state_view is None:
+        state_view = lambda vs: vs.env  # noqa: E731
+    if accumulate is None:
+        accumulate = lambda stats, out: stats.accumulate(out)  # noqa: E731
+
+    def step1(vs, k, stats):
         k, ka = jax.random.split(k)
-        actions = act_fn(astate, vs.env, ka)
+        actions = act_fn(astate, state_view(vs), ka)
         vs, out = vec.step(vs, actions)
-        return (vs, k, stats.accumulate(out)), None
+        return vs, k, accumulate(stats, out)
 
-    (vstate, _, stats), _ = jax.lax.scan(
-        body, (vstate, key, ChunkStats.zero()), None, length=n_steps
+    if min_episodes is None:
+        def body(carry, _):
+            return step1(*carry), None
+
+        (vstate, _, stats), _ = jax.lax.scan(
+            body, (vstate, key, ChunkStats.zero()), None, length=n_steps
+        )
+        return vstate, stats
+
+    target = jnp.float32(min_episodes)
+
+    def cond(carry):
+        _, _, stats, t = carry
+        return (stats.episodes < target) & (t < n_steps)
+
+    def body(carry):
+        vs, k, stats, t = carry
+        vs, k, stats = step1(vs, k, stats)
+        return vs, k, stats, t + 1
+
+    vstate, _, stats, _ = jax.lax.while_loop(
+        cond, body, (vstate, key, ChunkStats.zero(), jnp.int32(0))
     )
     return vstate, stats

@@ -151,8 +151,11 @@ class DQNTrainer:
         )
         return astate, vstate, stats, losses.mean()
 
-    def eval_chunk(self, astate, vstate, key, n_steps):
-        return eval_chunk(self.vec, self.agent.act, astate, vstate, key, n_steps)
+    def eval_chunk(self, astate, vstate, key, n_steps, min_episodes=None):
+        return eval_chunk(
+            self.vec, self.agent.act, astate, vstate, key, n_steps,
+            min_episodes=min_episodes,
+        )
 
 
 def _flat(x, t_out):

@@ -62,7 +62,14 @@ class MXUDQNTrainer:
                 actions = agent.act_explore(astate, pre, ka)
             st, out = self.vec.step(st, actions)
             astate = astate.replace(step=astate.step + n_local)
-            nxt = TableState(idx=out["next_idx"], t=st.t)
+            # On done steps st.t is the post-reset 0; store the terminal t+1
+            # the VecEnv path records via pre_reset_env (done masks the
+            # bootstrap today, but keep the record faithful for any future
+            # unmasked reader — n-step windows, obs statistics).
+            nxt = TableState(
+                idx=out["next_idx"],
+                t=jnp.where(out["done"], pre.t + 1, st.t),
+            )
             astate = astate.replace(
                 buffer=agent.push(
                     astate.buffer,
@@ -107,17 +114,12 @@ class MXUDQNTrainer:
         )
         return astate, mstate, stats, losses.mean()
 
-    def eval_chunk(self, astate, mstate, key, n_steps):
-        agent = self.agent
+    def eval_chunk(self, astate, mstate, key, n_steps, min_episodes=None):
+        from .common import eval_chunk
 
-        def body(carry, _):
-            st, k, stats = carry
-            k, ka = jax.random.split(k)
-            actions = agent.act(astate, TableState(idx=st.idx, t=st.t), ka)
-            st, out = self.vec.step(st, actions)
-            return (st, k, _accumulate(stats, out)), None
-
-        (mstate, _, stats), _ = jax.lax.scan(
-            body, (mstate, key, ChunkStats.zero()), None, length=n_steps
+        return eval_chunk(
+            self.vec, self.agent.act, astate, mstate, key, n_steps,
+            min_episodes=min_episodes,
+            state_view=lambda st: TableState(idx=st.idx, t=st.t),
+            accumulate=_accumulate,
         )
-        return mstate, stats

@@ -37,5 +37,8 @@ class DummyTrainer:
         )
         return astate, vstate, stats
 
-    def eval_chunk(self, astate, vstate, key, n_steps):
-        return eval_chunk(self.vec, self.agent.act, astate, vstate, key, n_steps)
+    def eval_chunk(self, astate, vstate, key, n_steps, min_episodes=None):
+        return eval_chunk(
+            self.vec, self.agent.act, astate, vstate, key, n_steps,
+            min_episodes=min_episodes,
+        )

@@ -140,17 +140,15 @@ class MXUTabularQTrainer:
         )
         return astate, mstate, stats
 
-    def eval_chunk(self, astate, mstate, key, n_steps):
-        agent = self.agent
+    def eval_chunk(self, astate, mstate, key, n_steps, min_episodes=None):
+        from .common import eval_chunk
 
-        def body(carry, _):
-            st, k, stats = carry
-            k, ka = jax.random.split(k)
-            actions = jnp.argmax(_q_rows(astate.q, st.idx), -1).astype(jnp.int32)
-            st, out = self.vec.step(st, actions)
-            return (st, k, _accumulate(stats, out)), None
+        def act(astate, st, ka):
+            del ka
+            return jnp.argmax(_q_rows(astate.q, st.idx), -1).astype(jnp.int32)
 
-        (mstate, _, stats), _ = jax.lax.scan(
-            body, (mstate, key, ChunkStats.zero()), None, length=n_steps
+        return eval_chunk(
+            self.vec, act, astate, mstate, key, n_steps,
+            min_episodes=min_episodes,
+            state_view=lambda st: st, accumulate=_accumulate,
         )
-        return mstate, stats

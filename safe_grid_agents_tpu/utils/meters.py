@@ -33,11 +33,17 @@ class MetricsLogger:
                 self._tb = None
 
     def log(self, step: int, scalars: Dict[str, float], prefix: str = "train"):
+        def _jsonable(v):
+            # NaN means "no data" (e.g. zero finished eval episodes) — emit
+            # strict-JSON null, not the bare NaN token json.dumps produces.
+            v = float(v)
+            return None if v != v else v
+
         rec = {
             "step": int(step),
             "wall_s": round(time.time() - self._t0, 3),
             "prefix": prefix,
-            **{k: float(v) for k, v in scalars.items()},
+            **{k: _jsonable(v) for k, v in scalars.items()},
         }
         if self._jsonl:
             self._jsonl.write(json.dumps(rec) + "\n")

@@ -8,9 +8,13 @@ command (`python tools/scale.py`, CPU backend, virtual devices):
    family's DP chunk runs with n_envs ∝ devices; the table shows per-device
    env work is CONSTANT (collect is communication-free — env shards never
    talk) and the global stats are exact multiples.
-2. **Communication volume, measured from the compiled program**: the lowered
-   shard_map HLO is parsed for `all-reduce` ops; the table reports bytes
-   all-reduced per chunk and per env-step. This is what actually rides ICI.
+2. **Communication volume, cross-checked against the compiled program**: the
+   lowered shard_map HLO is parsed for `all-reduce` ops. The per-chunk BYTES
+   column is the analytic model (per-update payload × update count); the HLO
+   gives the measured site count and per-occurrence bytes, and the script
+   ASSERTS the analytic number against (HLO site bytes × the family's known
+   loop multiplicity) within 5% — a trainer that silently gains or loses a
+   collective fails here instead of drifting past the table.
 3. **The scaling model**: per chunk, device compute grows with LOCAL env
    count while all-reduce payload is CONSTANT (grad/table size, independent
    of device count and of env count). At 16 chips the per-update payload
@@ -130,6 +134,18 @@ def _family(name, n_dev):
     return DPTrainer(tr, mesh), analytic, note
 
 
+# Per-family expected collective structure: (HLO all-reduce site count,
+# in-loop multiplicity of the dominant site). A change in either means a
+# trainer gained/lost a collective — the asserts below fail loudly rather
+# than letting the printed table drift from the program.
+EXPECTED_AR = {
+    "tabular": (3, CHUNK),   # td_sum+cnt+n psum per step; stats once
+    "dqn": (2, CHUNK),       # grad+loss pmean per update (CHUNK updates)
+    "ppo": (2, None),        # grad pmean per minibatch; whitening + stats
+    "crmdp": (3, None),      # + corruption-delta pmean per chunk
+}
+
+
 def run_family(name, n_devs, verbose):
     rows = []
     for n_dev in n_devs:
@@ -140,6 +156,22 @@ def run_family(name, n_devs, verbose):
         compiled = lowered.compile()
         hlo = compiled.as_text()
         ar_sites = _hlo_allreduce_bytes(hlo)
+        exp_sites, mult = EXPECTED_AR[name]
+        if mult is None:  # ppo/crmdp: epochs × minibatches grad pmeans
+            mult = dp.trainer.agent.epochs * dp.trainer.agent.n_minibatches
+        assert len(ar_sites) == exp_sites, (
+            f"{name}@{n_dev}: {len(ar_sites)} all-reduce sites in HLO, "
+            f"expected {exp_sites} — a collective was gained or lost"
+        )
+        if n_dev > 1:
+            # Analytic-vs-HLO cross-check: every site's payload recurs at
+            # most `mult` times per chunk and the one-shot sites (stats,
+            # whitening) are tiny, so analytic ≈ mult × Σ site bytes.
+            hlo_model = mult * sum(ar_sites)
+            assert abs(analytic - hlo_model) <= 0.05 * analytic, (
+                f"{name}@{n_dev}: analytic {analytic} B/chunk vs "
+                f"HLO-site model {hlo_model} B — models diverged"
+            )
         out = compiled(*args)
         stats = out[2]
         env_steps = float(stats.env_steps)
