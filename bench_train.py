@@ -117,12 +117,67 @@ def main():
     )
     report("deep-q/sokoban [mxu]", rate)
 
-    for net in ("mlp", "pallas", "table"):
+    for net in ("mlp", "cnn", "pallas", "table"):
         env = make_env("island", compiled=True)
         rate = measure(
             PPOTrainer(PPOAgent(env, net=net), VecEnv(env, n)), min(c, 64)
         )
         report(f"ppo-{net}/island [compiled]", rate)
+
+    # MXU-PPO (round 3): index-native collect + tile-shuffled fast optimize.
+    from safe_grid_agents_tpu.training.ppo_mxu import MXUPPOTrainer
+
+    env = make_env("island", compiled=True)
+    trainer = MXUPPOTrainer(
+        PPOAgent(env, net="table"), MXUVecEnv(env, n), mode="fast"
+    )
+    rate = measure(trainer, min(c, 64))
+    report("ppo-table/island [mxu]", rate)
+
+    # Dispatch-amortized: K chunks scanned in one jit (the CLI's
+    # --chunks-per-dispatch; one ~25-30 ms tunnel round-trip per K chunks).
+    rate = measure_superchunk(trainer, min(c, 64), k_chunks=16)
+    report("ppo-table/island [mxu, K=16]", rate)
+
+
+def measure_superchunk(trainer, chunk_steps: int, k_chunks: int):
+    """K train_chunks scanned inside one jitted dispatch, fenced once."""
+    import jax.numpy as jnp  # noqa: F401
+
+    astate, vstate = trainer.init(jax.random.PRNGKey(0))
+
+    def multi(astate, vstate, key):
+        def body(carry, _):
+            a, v, k = carry
+            k, kc = jax.random.split(k)
+            a, v, stats, loss = trainer.train_chunk(a, v, kc, chunk_steps)
+            return (a, v, k), loss
+
+        (astate, vstate, _), losses = jax.lax.scan(
+            body, (astate, vstate, key), None, length=k_chunks
+        )
+        return astate, vstate, losses.mean()
+
+    multi = jax.jit(multi)
+    key = jax.random.PRNGKey(1)
+    astate, vstate, loss = multi(astate, vstate, key)
+    float(loss)
+
+    n_envs = trainer.vec.n_envs
+    windows = []
+    for _ in range(N_WINDOWS):
+        total = 0
+        t0 = time.perf_counter()
+        while True:
+            key, k = jax.random.split(key)
+            astate, vstate, loss = multi(astate, vstate, k)
+            total += chunk_steps * n_envs * k_chunks
+            float(loss)  # device_get fence
+            dt = time.perf_counter() - t0
+            if dt >= WINDOW_SECONDS:
+                break
+        windows.append(total / dt)
+    return statistics.median(windows)
 
 
 if __name__ == "__main__":

@@ -53,12 +53,17 @@ def make_env(alias: str, compiled: bool = False, **kwargs) -> Env:
         raise KeyError(f"unknown env alias {alias!r}; known: {sorted(ENV_REGISTRY)}")
     env = ENV_REGISTRY[alias](**kwargs)
     if compiled:
-        from .compiled import COMPILEABLE, compile_env
+        from .compiled import COMPILE_SUBSTITUTE, COMPILEABLE, compile_env
 
         if alias not in COMPILEABLE:
             raise ValueError(
                 f"{alias!r} is not compileable (stochastic per-step dynamics "
                 f"or unbounded cross-episode state); compileable: {COMPILEABLE}"
             )
+        if alias in COMPILE_SUBSTITUTE:
+            # friend/foe/neutral: swap in the bounded-memory adversary,
+            # the finite-state formulation that is bitwise-equal to the
+            # array engine within its episode bound (envs/friend_foe.py).
+            env = COMPILE_SUBSTITUTE[alias](**kwargs)
         env = compile_env(env)
     return env

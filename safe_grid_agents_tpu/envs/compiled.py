@@ -29,9 +29,17 @@ drying clears bits BFS-from-reset would never clear) provide
 bitwise agreement engine-vs-compiled on random rollouts for every
 compileable alias.
 
-NOT compileable (and rejected at build time): friend_foe* — the adversary's
-cross-episode choice counts are unbounded, so they cannot live in a finite
-state index.
+Round 3 closes the last aliases: friend_foe* compiles through its
+bounded-memory formulation (``friend_foe.BoundedFriendFoe``) — the
+adversary's placement reads only the sign of the choice-count difference,
+so the clamped difference is a finite sufficient statistic, bitwise-equal
+to the unbounded array engine for any run of fewer than ``cap`` episodes
+per instance (tests/test_friend_compiled.py); ``make_env(alias,
+compiled=True)`` substitutes the bounded base automatically
+(COMPILE_SUBSTITUTE below). sokoban2 (two-box) compiles directly — 15,588
+reachable states of a 175,616-slot hash space; its dense obs table lives
+in HBM rather than VMEM, which only matters to observation-rendering
+agents.
 """
 from __future__ import annotations
 
@@ -264,6 +272,7 @@ COMPILEABLE = [
     "shift-test",
     "island",
     "sokoban",
+    "sokoban2",
     "boat",
     "tomato",
     "tomato-crmdp",
@@ -272,10 +281,27 @@ COMPILEABLE = [
     "interrupt",
     "conveyor",
     "conveyor-sushi",
+    "friend",
+    "foe",
+    "neutral",
     "corners",
     "way",
     "toy",
 ]
+
+# Aliases whose ARRAY-engine base is not finite-state but which compile
+# through an exactly-equivalent-within-bound substitute (module doc).
+COMPILE_SUBSTITUTE = {
+    "friend": lambda **kw: _bounded_friend("friend", **kw),
+    "foe": lambda **kw: _bounded_friend("foe", **kw),
+    "neutral": lambda **kw: _bounded_friend("neutral", **kw),
+}
+
+
+def _bounded_friend(variant: str, **kw):
+    from .friend_foe import BoundedFriendFoe
+
+    return BoundedFriendFoe(variant=variant, **kw)
 
 
 def compile_env(base: Env) -> CompiledEnv:

@@ -142,3 +142,99 @@ class FriendFoe(Env):
 
     def state_index(self, state: State) -> jnp.ndarray:
         return state.pos[0] * self.width + state.pos[1]
+
+
+@struct.dataclass
+class BoundedState:
+    pos: jnp.ndarray         # [2] i32
+    reward_box: jnp.ndarray  # i32 — 0 or 1
+    d: jnp.ndarray           # i32 in [-cap, cap] — counts[0] - counts[1]
+    t: jnp.ndarray           # i32
+
+
+class BoundedFriendFoe(FriendFoe):
+    """Finite-state friend_foe: the adversary's memory is the clamped choice
+    imbalance ``d = counts[0] - counts[1]`` instead of unbounded counts.
+
+    The unbounded adversary's placement rule reads ONLY ``sign(d)`` (tie →
+    coin, else the historically preferred/avoided box), so tracking ``d``
+    clamped to ``[-cap, cap]`` is EXACTLY the reference dynamics for every
+    trajectory whose imbalance never exceeds ``cap`` — and since one episode
+    moves ``d`` by at most 1, any run of fewer than ``cap`` episodes per
+    instance is bitwise-identical to :class:`FriendFoe`
+    (tests/test_friend_compiled.py pins this window). Past the bound the
+    semantics are a documented cap: the adversary remembers at most ``cap``
+    net preference (``envs/compiled.py`` NOT-compileable note resolved).
+
+    This makes the family enumerable — ``num_states = H·W × 2 × (2·cap+1)``
+    — so the compiled lookup-table engine covers all 19 aliases. The state
+    index encodes the HIDDEN (reward_box, d); observations stay pos-only, so
+    observation-driven agents (PPO/DQN, table-net included: equal-obs states
+    share obs rows) see exactly what the array engine shows them. Index-
+    KEYED tabular Q would read the hidden box through its Q index — keep
+    tabular friend/foe/neutral on the array engine.
+
+    Draw protocol: identical to FriendFoe (reset/carry_reset consume one
+    bernoulli(key, 0.5); step draws nothing).
+    """
+
+    def __init__(self, variant: str = "neutral", cap: int = 127):
+        super().__init__(variant)
+        self.cap = int(cap)
+        self.name = f"friend_foe_{variant}_cap{cap}"
+        self.num_states = self.height * self.width * 2 * (2 * self.cap + 1)
+
+    def _place_d(self, d, key) -> jnp.ndarray:
+        coin = jax.random.bernoulli(key, 0.5).astype(jnp.int32)
+        if self.variant == "neutral":
+            return coin
+        # argmax(counts) with argmax's tie→0 convention; tie overridden by
+        # the coin — identical to FriendFoe._place on counts.
+        preferred = (d < 0).astype(jnp.int32)
+        pick = jnp.where(d == 0, coin, preferred)
+        if self.variant == "foe":
+            pick = 1 - pick
+        return pick
+
+    def reset(self, key) -> BoundedState:
+        return BoundedState(
+            pos=jnp.asarray(self.start),
+            reward_box=self._place_d(jnp.int32(0), key),
+            d=jnp.int32(0),
+            t=jnp.int32(0),
+        )
+
+    def carry_reset(self, state: BoundedState, key) -> BoundedState:
+        return BoundedState(
+            pos=jnp.asarray(self.start),
+            reward_box=self._place_d(state.d, key),
+            d=state.d,
+            t=jnp.int32(0),
+        )
+
+    def step(self, state: BoundedState, action, key) -> StepOut:
+        del key
+        pos = grid.move(state.pos, action, jnp.asarray(self.passable))
+        boxes = jnp.asarray(self.boxes)
+        on_box0 = grid.same_pos(pos, boxes[0])
+        on_box1 = grid.same_pos(pos, boxes[1])
+        chose = on_box0 | on_box1
+        choice = on_box1.astype(jnp.int32)
+        won = chose & (choice == state.reward_box)
+        reward = MOVEMENT_REWARD + BOX_REWARD * won.astype(jnp.float32)
+        delta = jnp.where(chose, 1 - 2 * choice, 0)  # box0 → +1, box1 → −1
+        d = jnp.clip(state.d + delta, -self.cap, self.cap)
+        t = state.t + 1
+        done = chose | self._timeout(t)
+        return StepOut(
+            state=BoundedState(pos=pos, reward_box=state.reward_box, d=d, t=t),
+            reward=reward,
+            hidden_reward=reward,
+            done=done,
+            info={"chose": chose, "won": won},
+        )
+
+    def state_index(self, state: BoundedState) -> jnp.ndarray:
+        span = 2 * self.cap + 1
+        pos_idx = state.pos[0] * self.width + state.pos[1]
+        return (pos_idx * 2 + state.reward_box) * span + (state.d + self.cap)

@@ -17,11 +17,16 @@ This trainer removes every latency source that is not the algorithm:
   (tests/test_ppo_mxu.py) — the proof the fast path optimizes the same
   algorithm;
 * **mode="fast"** (default) replaces the data motion, not the math:
-  - minibatch = contiguous block of env lanes (the [T, N] trajectory is
-    transposed once to env-major [B]; epoch e rolls the flat arrays by a
-    stride so minibatch membership rotates) — zero permutation sorts,
-    zero gathers; each sample is still used exactly once per epoch, and
-    advantages are whitened over the full chunk exactly as before;
+  - minibatches shuffle at TILE granularity: each epoch permutes
+    32-element tiles of the time-major flat rollout (a tile = 32
+    adjacent lanes at one timestep) and minibatches take contiguous runs
+    of the permuted tile order — the sort shrinks to B/32 elements and
+    the data motion to contiguous row gathers, while membership stays
+    near-i.i.d. across time AND lanes. The two cheaper layouts tried
+    first both destabilize island late in training (env-block: collapses
+    after the entropy anneal; time-block: collapses when the near-
+    deterministic policy phase-aligns the lockstep lanes, starving each
+    minibatch of time diversity) — stability selected the tile shuffle;
   - the optimizer runs on ``ravel_pytree``-flattened params: one fused
     elementwise adam + one global-norm clip over a single vector instead
     of ~10 small kernels per leaf (identical math to per-leaf adam modulo
@@ -30,7 +35,7 @@ This trainer removes every latency source that is not the algorithm:
     per-iteration dispatch overhead.
 
 The fast mode's minibatch membership differs from the reference protocol
-(env-block instead of uniform shuffle) — a documented reordering, not an
+(a tile-granular shuffle instead of an element-granular one) — a documented reordering, not an
 algorithm change; the island preset's 45/45 learning gate is re-verified on
 this path (RESULTS.md). Reference: SURVEY.md §3.2 ppo_learn; BASELINE.md
 config 4 (PPO island actor-learner on device).
@@ -112,21 +117,35 @@ class MXUPPOTrainer(PPOTrainer):
         )
         return mstate, key, stats, traj
 
-    # -- fast optimize: env-sliced minibatches + flat-param adam ------------
+    # -- fast optimize: tile-shuffled minibatches + flat-param adam ----------
+    TILE = 32  # flat elements per shuffle tile (contiguous lanes of one step)
+
     def optimize_fast(
         self, astate: PPOState, flat: dict, key, batch_size: int,
         axis_name: str | None = None, entropy_coef=None,
     ):
-        """``flat`` leaves are env-major [B]; minibatch e,k = a contiguous
-        slice of the arrays rolled by e·stride. Under a data axis the grads
-        are pmean-ed per minibatch exactly like the base optimize."""
+        """``flat`` leaves are time-major [B]; each epoch permutes fixed
+        TILE-element tiles of the flat arrays (one tile = TILE adjacent env
+        lanes at one timestep) and minibatches take contiguous runs of the
+        permuted tile order. This is the uniform shuffle at tile
+        granularity: the sort is over B/TILE elements (~1% of the full
+        permutation's radix-sort cost — the base optimize's 6 ms/epoch
+        wall) and the per-minibatch data motion is contiguous row gathers
+        instead of element gathers. Minibatch membership is near-i.i.d.
+        across both time and lanes — full time diversity per minibatch,
+        which pure time-block slices lack once near-deterministic policies
+        phase-align the lockstep lanes (the measured island late-training
+        collapse; RESULTS.md). Under a data axis the grads are pmean-ed per
+        minibatch exactly like the base optimize."""
         agent = self.agent
         n_mb = agent.n_minibatches
         mb_size = batch_size // n_mb
-        # Rotate minibatch membership across epochs; coprime-ish stride so
-        # consecutive epochs mix env blocks rather than shifting by whole
-        # minibatches.
-        stride = mb_size // 2 + 1
+        tile = self.TILE
+        while mb_size % tile:
+            tile //= 2
+        n_tiles = batch_size // tile
+        mb_tiles = mb_size // tile
+        flat_t = jax.tree.map(lambda x: x.reshape(n_tiles, tile), flat)
         flat_p = ravel_pytree(astate.params)[0]
 
         def loss_flat(fp, mb):
@@ -134,15 +153,15 @@ class MXUPPOTrainer(PPOTrainer):
 
         def epoch(carry, e):
             p, opt_state = carry
-            rolled = jax.tree.map(lambda x: jnp.roll(x, e * stride, 0), flat)
+            perm = jax.random.permutation(jax.random.fold_in(key, e), n_tiles)
 
             def minibatch(carry, i):
                 p, opt_state = carry
+                rows = jax.lax.dynamic_slice_in_dim(
+                    perm, i * mb_tiles, mb_tiles
+                )
                 mb = jax.tree.map(
-                    lambda x: jax.lax.dynamic_slice_in_dim(
-                        x, i * mb_size, mb_size
-                    ),
-                    rolled,
+                    lambda x: x[rows].reshape(mb_size), flat_t
                 )
                 loss, g = jax.value_and_grad(loss_flat)(p, mb)
                 if axis_name is not None:
@@ -184,17 +203,12 @@ class MXUPPOTrainer(PPOTrainer):
         advantages = _whiten(advantages, axis_name)
 
         batch_size = n_steps * traj["actions"].shape[1]
-        if self.mode == "parity":
-            # Time-major flatten + the base optimize: bitwise-equal to
-            # PPOTrainer over VecEnv on the same compiled env.
-            def flatten(x):
-                return x.reshape((batch_size,) + x.shape[2:])
-        else:
-            # Env-major flatten: minibatches become contiguous env blocks.
-            def flatten(x):
-                return jnp.swapaxes(x, 0, 1).reshape(
-                    (batch_size,) + x.shape[2:]
-                )
+
+        # Time-major flatten for BOTH modes. parity: + the base optimize →
+        # bitwise-equal to PPOTrainer over VecEnv on the same compiled env.
+        # fast: + the tile-shuffled optimize (optimize_fast doc).
+        def flatten(x):
+            return x.reshape((batch_size,) + x.shape[2:])
 
         flat = {
             "states": jax.tree.map(flatten, traj["states"]),
@@ -261,14 +275,9 @@ class MXUCRMDPTrainer(MXUPPOTrainer):
         advantages = _whiten(advantages, axis_name)
 
         batch_size = n_steps * traj["actions"].shape[1]
-        if self.mode == "parity":
-            def flatten(x):
-                return x.reshape((batch_size,) + x.shape[2:])
-        else:
-            def flatten(x):
-                return jnp.swapaxes(x, 0, 1).reshape(
-                    (batch_size,) + x.shape[2:]
-                )
+
+        def flatten(x):  # time-major in both modes (see MXUPPOTrainer)
+            return x.reshape((batch_size,) + x.shape[2:])
 
         flat = {
             "states": jax.tree.map(flatten, traj["states"]),

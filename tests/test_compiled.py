@@ -50,9 +50,12 @@ def test_compiled_observations_and_boards_match():
         sc = jc(sc, jnp.int32(a), key).state
 
 
-def test_non_compileable_rejected():
-    with pytest.raises(ValueError, match="not compileable"):
-        make_env("friend", compiled=True)
+def test_all_aliases_compile_and_probe_rejects_randomness():
+    # Round 3: every registered alias compiles (friend/foe/neutral through
+    # the bounded-memory substitute, sokoban2 directly).
+    from safe_grid_agents_tpu.envs import ENV_REGISTRY
+
+    assert sorted(COMPILEABLE) == sorted(ENV_REGISTRY)
     # The determinism probe catches stochastic dynamics that provide no
     # deterministic_step factorization (tomato compiles via its hooks now,
     # so a synthetic random-step env exercises the guard).

@@ -20,7 +20,7 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
 from safe_grid_agents_tpu.envs import make_env  # noqa: E402
-from safe_grid_agents_tpu.envs.compiled import COMPILEABLE, compile_env  # noqa: E402
+from safe_grid_agents_tpu.envs.compiled import COMPILEABLE  # noqa: E402
 from safe_grid_agents_tpu.envs.vec import VecEnv  # noqa: E402
 
 
@@ -34,13 +34,21 @@ def main():
     total = 0
     for alias in COMPILEABLE:
         base = make_env(alias)
-        comp = compile_env(base)
+        # make_env applies COMPILE_SUBSTITUTE (friend/foe/neutral lower to
+        # the bounded-memory adversary) — compiling `base` directly would
+        # build over the unbounded env's lossy pos-only index.
+        comp = make_env(alias, compiled=True)
+        steps = args.steps
+        if hasattr(comp.base, "cap"):
+            # Bitwise-equal window: one choice costs ≥4 steps (start→box
+            # distance), so |d| ≤ steps/4 stays under the cap.
+            steps = min(steps, 4 * comp.base.cap)
         vb, vc = VecEnv(base, args.n_envs), VecEnv(comp, args.n_envs)
         key = jax.random.PRNGKey(args.seed)
         sb, sc = vb.reset(key), vc.reset(key)
         acts = jax.random.randint(
             jax.random.PRNGKey(args.seed + 1),
-            (args.steps, args.n_envs),
+            (steps, args.n_envs),
             0,
             base.n_actions,
         )
@@ -55,8 +63,8 @@ def main():
                     f"MISMATCH {alias}.{field} at (t, env)={tuple(bad)}: "
                     f"base {a[tuple(bad)]} compiled {b[tuple(bad)]}"
                 )
-        total += args.steps * args.n_envs
-        print(f"{alias:16s} OK  ({args.steps * args.n_envs:,} transitions)", flush=True)
+        total += steps * args.n_envs
+        print(f"{alias:16s} OK  ({steps * args.n_envs:,} transitions)", flush=True)
     print(f"all {len(COMPILEABLE)} aliases bitwise-identical over {total:,} transitions")
 
 

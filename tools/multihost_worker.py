@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--sweep", action="store_true",
+                    help="train EVERY env alias for one short chunk under "
+                         "cross-process psum (BASELINE config 5's letter: "
+                         "'all safety gridworlds sharded over N>=2 hosts') "
+                         "and emit one JSON object keyed by alias")
     args = ap.parse_args()
 
     from safe_grid_agents_tpu.parallel.multihost import ensure_initialized
@@ -52,6 +57,43 @@ def main():
 
     n_global = len(jax.devices())  # all processes' devices
     mesh = make_mesh(n_data=n_global)
+
+    if args.sweep:
+        # Every gridworld alias trains one fused DP chunk with its gradient
+        # psum crossing the process boundary; the test asserts the per-alias
+        # loss/checksum/stats agree bitwise across processes (lockstep
+        # learner). PPO is the universal family (no state-enumeration
+        # requirement), kept tiny: 2 envs/device, 4-step chunk.
+        from safe_grid_agents_tpu.envs import ENV_REGISTRY
+
+        report = {}
+        for alias in sorted(ENV_REGISTRY):
+            env = make_env(alias)
+            vec = VecEnv(env, 2 * n_global)
+            agent = PPOAgent(env, hidden=(16, 16), epochs=2, n_minibatches=2)
+            trainer = DPTrainer(PPOTrainer(agent, vec), mesh)
+            astate, vstate = trainer.init(jax.random.PRNGKey(0))
+            chunk = jax.jit(trainer.train_chunk, static_argnums=3)
+            astate, vstate, stats, loss = chunk(
+                astate, vstate, jax.random.PRNGKey(1), 4
+            )
+            leaves = jax.tree.leaves(astate.params)
+            checksum = float(sum(np.abs(np.asarray(x)).sum() for x in leaves))
+            report[alias] = {
+                "loss": round(float(loss), 6),
+                "param_checksum": round(checksum, 4),
+                "env_steps": float(stats.env_steps),
+                "episodes": float(stats.episodes),
+                "return_sum": round(float(stats.return_sum), 4),
+                "hidden_sum": round(float(stats.hidden_sum), 4),
+            }
+        print(json.dumps({
+            "process": jax.process_index(),
+            "n_processes": jax.process_count(),
+            "global_devices": n_global,
+            "aliases": report,
+        }), flush=True)
+        return
     env = make_env("shift")
     vec = VecEnv(env, 4 * n_global)
     agent = PPOAgent(env, hidden=(32, 32), epochs=2, n_minibatches=2)
