@@ -87,10 +87,11 @@ def main():
     from safe_grid_agents_tpu.training.tabular_mxu import MXUTabularQTrainer
 
     env = make_env("shift", compiled=True)
-    rate = measure(
-        MXUTabularQTrainer(TabularQAgent(env), MXUVecEnv(env, n)), c
-    )
+    tab_mxu = MXUTabularQTrainer(TabularQAgent(env), MXUVecEnv(env, n))
+    rate = measure(tab_mxu, c)
     report("tabular-q/shift [mxu]", rate)
+    rate = measure_superchunk(tab_mxu, c, k_chunks=8, has_loss=False)
+    report("tabular-q/shift [mxu, K=8]", rate)
 
     env = make_env("sokoban", compiled=True)
     rate = measure(
@@ -106,16 +107,15 @@ def main():
 
     from safe_grid_agents_tpu.training.dqn_mxu import MXUDQNTrainer
 
-    rate = measure(
-        MXUDQNTrainer(
-            DQNAgent(env, replay_capacity=1 << 20, batch_size=1024),
-            MXUVecEnv(env, n),
-            updates_per_chunk=max(1, c // 8),
-        ),
-        c,
-        warmup=16,
+    dqn_mxu = MXUDQNTrainer(
+        DQNAgent(env, replay_capacity=1 << 20, batch_size=1024),
+        MXUVecEnv(env, n),
+        updates_per_chunk=max(1, c // 8),
     )
+    rate = measure(dqn_mxu, c, warmup=16)
     report("deep-q/sokoban [mxu]", rate)
+    rate = measure_superchunk(dqn_mxu, c, k_chunks=8, warmup=16)
+    report("deep-q/sokoban [mxu, K=8]", rate)
 
     for net in ("mlp", "cnn", "pallas", "table"):
         env = make_env("island", compiled=True)
@@ -140,18 +140,24 @@ def main():
     report("ppo-table/island [mxu, K=16]", rate)
 
 
-def measure_superchunk(trainer, chunk_steps: int, k_chunks: int):
+def measure_superchunk(trainer, chunk_steps: int, k_chunks: int,
+                       has_loss: bool = True, warmup=None):
     """K train_chunks scanned inside one jitted dispatch, fenced once."""
     import jax.numpy as jnp  # noqa: F401
 
     astate, vstate = trainer.init(jax.random.PRNGKey(0))
+    if warmup is not None:
+        astate, vstate, _ = jax.jit(trainer.warmup_chunk, static_argnums=3)(
+            astate, vstate, jax.random.PRNGKey(9), warmup
+        )
 
     def multi(astate, vstate, key):
         def body(carry, _):
             a, v, k = carry
             k, kc = jax.random.split(k)
-            a, v, stats, loss = trainer.train_chunk(a, v, kc, chunk_steps)
-            return (a, v, k), loss
+            out = trainer.train_chunk(a, v, kc, chunk_steps)
+            y = out[3] if has_loss else out[2].episodes
+            return (out[0], out[1], k), y
 
         (astate, vstate, _), losses = jax.lax.scan(
             body, (astate, vstate, key), None, length=k_chunks
