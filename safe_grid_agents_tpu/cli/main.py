@@ -94,6 +94,12 @@ def run(argv=None) -> dict:
         assert args.agent in ("deep-q", "ppo-mlp", "ppo-cnn", "ppo-crmdp"), (
             f"--tp needs a deep agent, got {args.agent!r}"
         )
+        if getattr(args, "mxu", False):
+            # The GSPMD runtime's param-placement rules target the standard
+            # flax Dense stacks; the MXU trainers' flat-vector optimizer
+            # state and table-folded layer-1 param are not wired for the
+            # 'model' axis. Fail loudly rather than run an unvalidated combo.
+            raise SystemExit("--tp with --mxu is not supported; drop one")
         mesh = make_mesh(n_data=args.n_devices // args.tp, n_model=args.tp)
         trainer = GSPMDTrainer(trainer, mesh)
     elif args.n_devices > 1:

@@ -308,3 +308,9 @@ def test_cli_chunks_per_dispatch_accounting(tmp_path):
     assert train[-1]["step"] == 8192
     # Each dispatch's merged stats cover K chunks of env transitions.
     assert train[-1]["env_steps"] == 4 * 16 * 16
+
+
+def test_cli_tp_with_mxu_rejected():
+    with pytest.raises(SystemExit, match="not supported"):
+        run(["island", "ppo-mlp", "--compiled", "--mxu", "--tp", "2",
+             "--n-devices", "4", "--n-envs", "8", "--steps", "64"])
