@@ -117,8 +117,6 @@ def run(argv=None) -> dict:
     # 64-step chunk's entire device work; see PERF.md dispatch-amortization).
     K = args.chunks_per_dispatch
     if K > 1:
-        import jax.numpy as jnp  # noqa: F811
-
         def _multi_chunk(astate, vstate, key, n_steps):
             def body(carry, _):
                 a, v, k = carry

@@ -51,7 +51,6 @@ def make_env(alias: str, compiled: bool = False, **kwargs) -> Env:
     steps; only enumerable-deterministic envs support it."""
     if alias not in ENV_REGISTRY:
         raise KeyError(f"unknown env alias {alias!r}; known: {sorted(ENV_REGISTRY)}")
-    env = ENV_REGISTRY[alias](**kwargs)
     if compiled:
         from .compiled import COMPILE_SUBSTITUTE, COMPILEABLE, compile_env
 
@@ -61,9 +60,11 @@ def make_env(alias: str, compiled: bool = False, **kwargs) -> Env:
                 f"or unbounded cross-episode state); compileable: {COMPILEABLE}"
             )
         if alias in COMPILE_SUBSTITUTE:
-            # friend/foe/neutral: swap in the bounded-memory adversary,
-            # the finite-state formulation that is bitwise-equal to the
-            # array engine within its episode bound (envs/friend_foe.py).
-            env = COMPILE_SUBSTITUTE[alias](**kwargs)
-        env = compile_env(env)
-    return env
+            # friend/foe/neutral: build the bounded-memory adversary
+            # DIRECTLY (the finite-state formulation, bitwise-equal to the
+            # array engine within its episode bound — envs/friend_foe.py);
+            # kwargs such as ``cap`` go to the substitute, and the unbounded
+            # registry env is never constructed just to be discarded.
+            return compile_env(COMPILE_SUBSTITUTE[alias](**kwargs))
+        return compile_env(ENV_REGISTRY[alias](**kwargs))
+    return ENV_REGISTRY[alias](**kwargs)

@@ -137,7 +137,9 @@ class DPTrainer:
         # condition would deadlock shards that finish at different times).
         local_eps = (
             None if min_episodes is None
-            else max(1, min_episodes // self.n_dev)
+            else max(1, -(-min_episodes // self.n_dev))  # ceil: D shards ×
+            # local target must cover the GLOBAL minimum (floor could stop
+            # at D·floor(E/D) < E finished episodes).
         )
 
         def local(astate, vstate_shard, key_shard):

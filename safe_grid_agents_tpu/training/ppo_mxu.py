@@ -143,9 +143,16 @@ class MXUPPOTrainer(PPOTrainer):
         tile = self.TILE
         while mb_size % tile:
             tile //= 2
-        n_tiles = batch_size // tile
+        # Like the base optimize, a batch that doesn't divide into n_mb
+        # minibatches drops the remainder (the base never selects the
+        # trailing perm entries; here the trailing elements are sliced off
+        # before tiling — n_mb·mb_size is always tile-divisible).
+        used = n_mb * mb_size
+        n_tiles = used // tile
         mb_tiles = mb_size // tile
-        flat_t = jax.tree.map(lambda x: x.reshape(n_tiles, tile), flat)
+        flat_t = jax.tree.map(
+            lambda x: x[:used].reshape(n_tiles, tile), flat
+        )
         flat_p = ravel_pytree(astate.params)[0]
 
         def loss_flat(fp, mb):

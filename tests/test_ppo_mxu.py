@@ -3,9 +3,9 @@
 Parity methodology: ``mode="parity"`` must be BITWISE-equal to the base
 ``PPOTrainer``/``CRMDPTrainer`` over ``VecEnv`` on the same compiled env —
 same reset key, same chunk keys → identical params, stats, env indices.
-``mode="fast"`` changes data layout only (env-block minibatches, flat-param
-adam); its learning behavior is gated separately (corners hack test here,
-island 45/45 preset evidence in RESULTS.md).
+``mode="fast"`` changes data layout only (tile-granular shuffled
+minibatches, flat-param adam); its learning behavior is gated separately
+(corners hack test here, island 45/45 preset evidence in RESULTS.md).
 """
 import jax
 import jax.numpy as jnp
@@ -107,7 +107,7 @@ def test_mxu_ppo_fast_runs_and_evals():
 
 @pytest.mark.slow
 def test_mxu_ppo_fast_learns_corners():
-    """The fast layout (env-block minibatches + flat adam) still learns:
+    """The fast layout (tile-shuffled minibatches + flat adam) still learns:
     same corrupt-corner camping gate as test_ppo_hacks_corners."""
     env = make_env("corners", compiled=True)
     agent = PPOAgent(env, net="table", lr=1e-3, entropy_bonus=0.05)
@@ -156,3 +156,18 @@ def test_mxu_crmdp_fast_resists_corners():
     corrupt_idx = [1 * w + 1, 5 * w + 5]
     assert (c[corrupt_idx] > 3.0).all(), c[corrupt_idx]
     assert np.abs(np.delete(c, corrupt_idx)).max() < 2.0
+
+
+def test_mxu_ppo_fast_nondivisible_batch():
+    """Batch not divisible by n_minibatches (and a remainder that forces a
+    smaller shuffle tile): the fast layout drops the remainder exactly like
+    the base optimize instead of failing the tile reshape."""
+    env = make_env("island", compiled=True)
+    agent = PPOAgent(env, net="table", epochs=2, n_minibatches=8)
+    tr = MXUPPOTrainer(agent, MXUVecEnv(env, 36), mode="fast")
+    astate, mstate = tr.init(jax.random.PRNGKey(0))
+    chunk = jax.jit(tr.train_chunk, static_argnums=3)
+    astate, mstate, stats, loss = chunk(
+        astate, mstate, jax.random.PRNGKey(1), 89
+    )  # B = 36·89 = 3204; mb = 400; tile drops 32 → 16; 4 samples unused
+    assert np.isfinite(float(loss))

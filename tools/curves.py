@@ -100,6 +100,13 @@ def collect_curve(cfg: dict, seed: int):
         if (i + 1) % cfg["eval_every"] == 0:
             _, es = echunk(astate, jreset(jax.random.PRNGKey(7)), k, cfg["eval_steps"])
             s = stats_to_host(es)
+            # A zero-episode eval reports NaN means (training/common.py); a
+            # golden curve must never bake NaN in (every tolerance compare
+            # would then fail opaquely) — fail loudly at collection instead.
+            assert s["episodes"] > 0, (
+                f"{cfg['name']} seed {seed}: no eval episodes finished at "
+                f"chunk {i + 1} — raise eval_steps for this config"
+            )
             curve.append({"return": round(s["mean_return"], 3),
                           "hidden": round(s["mean_hidden"], 3)})
     return curve

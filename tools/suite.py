@@ -55,14 +55,23 @@ def main():
             ]
             + args.extra
         )
-        rows.append({"env": alias, **{k: round(v, 2) for k, v in stats.items()}})
+        # episodes=0 evals report NaN means (training/common.py) — emit
+        # strict-JSON null for those.
+        rows.append({
+            "env": alias,
+            **{k: (None if v != v else round(v, 2)) for k, v in stats.items()},
+        })
         print(json.dumps(rows[-1]), flush=True)
 
     print(f"\n{'env':16s} {'return':>10s} {'hidden':>10s} {'episodes':>9s}")
     for r in rows:
+        def _f(key, missing=float("nan")):
+            v = r.get(key)
+            return missing if v is None else v
+
         print(
-            f"{r['env']:16s} {r.get('mean_return', 0):10.2f} "
-            f"{r.get('mean_hidden', 0):10.2f} {r.get('episodes', 0):9.0f}"
+            f"{r['env']:16s} {_f('mean_return'):10.2f} "
+            f"{_f('mean_hidden'):10.2f} {_f('episodes', 0):9.0f}"
         )
 
 

@@ -53,11 +53,21 @@ def main():
         for n, v in zip(names, combo):
             extra += [f"--{n}", v]
         stats = run(passthrough + extra)
-        rec = {**dict(zip(names, combo)), **{k: round(v, 3) for k, v in stats.items()}}
+        # NaN means "no finished eval episodes" (training/common.py): emit
+        # strict-JSON null and rank such combos worst (NaN would poison the
+        # max() comparison chain).
+        rec = {
+            **dict(zip(names, combo)),
+            **{k: (None if v != v else round(v, 3)) for k, v in stats.items()},
+        }
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
-    best = max(results, key=lambda r: r.get("mean_return", float("-inf")))
+    def score(r):
+        v = r.get("mean_return")
+        return float("-inf") if v is None else v
+
+    best = max(results, key=score)
     print("best by mean_return:", json.dumps(best))
 
 
