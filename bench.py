@@ -170,18 +170,21 @@ def main():
     cenv = compile_env(make_env("shift"))
 
     # Real per-chunk rates (device_get-fenced): base ~23 M, compiled ~32 M,
-    # mxu ~1.0-1.5 B steps/s — chunks sized for >= 100 ms dispatches.
-    base_rate, _, _ = measure_vecenv(make_env("shift"), "base", 4096)
+    # mxu ~1.5+ B steps/s. Chunks sized so one dispatch is ≥ ~300 ms of
+    # device work: the tunnel round-trip is a fixed ~26 ms per dispatch
+    # (PERF.md round-3 decomposition), so 100 ms dispatches under-reported
+    # the device rate by up to ~25%.
+    base_rate, _, _ = measure_vecenv(make_env("shift"), "base", 8192)
     print(f"base engine:     {base_rate/1e6:.1f} M env-steps/s", file=sys.stderr)
-    compiled_rate, _, _ = measure_vecenv(cenv, "compiled", 4096)
+    compiled_rate, _, _ = measure_vecenv(cenv, "compiled", 8192)
     print(f"compiled engine: {compiled_rate/1e6:.1f} M env-steps/s", file=sys.stderr)
-    mxu_rate, mxu_lo, mxu_hi = measure_mxu(cenv, "mxu", 32768)
+    mxu_rate, mxu_lo, mxu_hi = measure_mxu(cenv, "mxu", 131072)
     print(f"mxu engine:      {mxu_rate/1e6:.1f} M env-steps/s "
           f"[{mxu_lo/1e6:.1f}, {mxu_hi/1e6:.1f}]", file=sys.stderr)
     # Secondary: the MXU engine keeps scaling with lockstep width past the
     # north-star 4096 (PERF.md width table) — report the 65k-lane point so
     # the headline's conscious 4096 choice doesn't hide it.
-    wide_rate, _, _ = measure_mxu(cenv, "mxu-65k", 8192, n_envs=65536)
+    wide_rate, _, _ = measure_mxu(cenv, "mxu-65k", 16384, n_envs=65536)
     print(f"mxu @65k lanes:  {wide_rate/1e6:.1f} M env-steps/s", file=sys.stderr)
 
     best = max(base_rate, compiled_rate, mxu_rate)

@@ -72,11 +72,13 @@ def run(argv=None) -> dict:
         elif args.agent == "ppo-crmdp":
             from ..training.ppo_mxu import MXUCRMDPTrainer
 
-            trainer = MXUCRMDPTrainer(agent, vec)
+            mode = "parity" if args.mxu_parity else "fast"
+            trainer = MXUCRMDPTrainer(agent, vec, mode=mode)
         else:
             from ..training.ppo_mxu import MXUPPOTrainer
 
-            trainer = MXUPPOTrainer(agent, vec, cheat=args.cheat)
+            mode = "parity" if args.mxu_parity else "fast"
+            trainer = MXUPPOTrainer(agent, vec, cheat=args.cheat, mode=mode)
     else:
         vec = VecEnv(env, args.n_envs)
         agent = make_agent(args.agent, env, **agent_kwargs(args))

@@ -124,6 +124,11 @@ def prepare_parser() -> argparse.ArgumentParser:
                           "native, deep-q collects streaming TableState "
                           "records, and the ppo family collects index-native "
                           "rollouts with the fast optimize layout")
+    run.add_argument("--mxu-parity", action="store_true",
+                     help="with --mxu + a ppo agent: run the base trainer's "
+                          "exact optimize instead of the fast layout — "
+                          "bitwise-equal to the non-MXU trainer (debug/"
+                          "verification mode)")
     run.add_argument("--n-devices", type=int, default=1,
                      help="devices in the mesh (data axis, divided by --tp)")
     run.add_argument("--tp", type=int, default=1,
