@@ -286,6 +286,21 @@ def test_cli_mxu_ppo_crmdp_runs():
     assert np.isfinite(stats["mean_return"])
 
 
+def test_cli_mxu_parity_matches_base_run():
+    """--mxu --mxu-parity runs the bitwise optimize on the MXU engine: the
+    whole driver run (train chunks + final eval) must produce final stats
+    identical to the plain --compiled run with the same flags."""
+    flags = [
+        "corners", "ppo-mlp", "--compiled", "--table-net",
+        "--n-envs", "16", "--steps", "4096", "--chunk-steps", "16",
+        "--eval-every", "20", "--eval-steps", "25",
+        "--lr", "0.001", "--entropy-bonus", "0.05", "--seed", "3",
+    ]
+    s_base = run(flags)
+    s_mxu = run(flags + ["--mxu", "--mxu-parity"])
+    assert s_base == s_mxu
+
+
 def test_cli_chunks_per_dispatch_accounting(tmp_path):
     """--chunks-per-dispatch K scans K chunks per jit call; total env steps
     honored and stats merged per dispatch."""
