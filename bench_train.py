@@ -58,6 +58,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-envs", type=int, default=4096)
     ap.add_argument("--chunk", type=int, default=256)
+    ap.add_argument("--only", type=str, default=None,
+                    help="measure only rows whose label contains this "
+                         "substring (e.g. 'ppo-cnn', '[mxu')")
     args = ap.parse_args()
 
     from safe_grid_agents_tpu.agents.dqn import DQNAgent
@@ -74,70 +77,79 @@ def main():
     def report(name, rate):
         print(f"{name:28s} {rate/1e6:10.1f} M env-steps/s")
 
+    def sel(label):
+        return args.only is None or args.only in label
+
     for compiled in (False, True):
         tag = "compiled" if compiled else "base"
-        env = make_env("shift", compiled=compiled)
-        rate = measure(
-            TabularQTrainer(TabularQAgent(env), VecEnv(env, n)), c
-        )
-        report(f"tabular-q/shift [{tag}]", rate)
+        if sel(f"tabular-q/shift [{tag}]"):
+            env = make_env("shift", compiled=compiled)
+            rate = measure(
+                TabularQTrainer(TabularQAgent(env), VecEnv(env, n)), c
+            )
+            report(f"tabular-q/shift [{tag}]", rate)
 
     # Index-native tabular trainer on the MXU fused engine (--mxu).
     from safe_grid_agents_tpu.envs.mxu import MXUVecEnv
     from safe_grid_agents_tpu.training.tabular_mxu import MXUTabularQTrainer
 
-    env = make_env("shift", compiled=True)
-    tab_mxu = MXUTabularQTrainer(TabularQAgent(env), MXUVecEnv(env, n))
-    rate = measure(tab_mxu, c)
-    report("tabular-q/shift [mxu]", rate)
-    rate = measure_superchunk(tab_mxu, c, k_chunks=8, has_loss=False)
-    report("tabular-q/shift [mxu, K=8]", rate)
+    if sel("tabular-q/shift [mxu"):
+        env = make_env("shift", compiled=True)
+        tab_mxu = MXUTabularQTrainer(TabularQAgent(env), MXUVecEnv(env, n))
+        rate = measure(tab_mxu, c)
+        report("tabular-q/shift [mxu]", rate)
+        rate = measure_superchunk(tab_mxu, c, k_chunks=8, has_loss=False)
+        report("tabular-q/shift [mxu, K=8]", rate)
 
     env = make_env("sokoban", compiled=True)
-    rate = measure(
-        DQNTrainer(
-            DQNAgent(env, replay_capacity=1 << 20, batch_size=1024),
-            VecEnv(env, n),
-            updates_per_chunk=max(1, c // 8),
-        ),
-        c,
-        warmup=16,
-    )
-    report("deep-q/sokoban [compiled]", rate)
+    if sel("deep-q/sokoban [compiled]"):
+        rate = measure(
+            DQNTrainer(
+                DQNAgent(env, replay_capacity=1 << 20, batch_size=1024),
+                VecEnv(env, n),
+                updates_per_chunk=max(1, c // 8),
+            ),
+            c,
+            warmup=16,
+        )
+        report("deep-q/sokoban [compiled]", rate)
 
     from safe_grid_agents_tpu.training.dqn_mxu import MXUDQNTrainer
 
-    dqn_mxu = MXUDQNTrainer(
-        DQNAgent(env, replay_capacity=1 << 20, batch_size=1024),
-        MXUVecEnv(env, n),
-        updates_per_chunk=max(1, c // 8),
-    )
-    rate = measure(dqn_mxu, c, warmup=16)
-    report("deep-q/sokoban [mxu]", rate)
-    rate = measure_superchunk(dqn_mxu, c, k_chunks=8, warmup=16)
-    report("deep-q/sokoban [mxu, K=8]", rate)
+    if sel("deep-q/sokoban [mxu"):
+        dqn_mxu = MXUDQNTrainer(
+            DQNAgent(env, replay_capacity=1 << 20, batch_size=1024),
+            MXUVecEnv(env, n),
+            updates_per_chunk=max(1, c // 8),
+        )
+        rate = measure(dqn_mxu, c, warmup=16)
+        report("deep-q/sokoban [mxu]", rate)
+        rate = measure_superchunk(dqn_mxu, c, k_chunks=8, warmup=16)
+        report("deep-q/sokoban [mxu, K=8]", rate)
 
     for net in ("mlp", "cnn", "pallas", "table"):
-        env = make_env("island", compiled=True)
-        rate = measure(
-            PPOTrainer(PPOAgent(env, net=net), VecEnv(env, n)), min(c, 64)
-        )
-        report(f"ppo-{net}/island [compiled]", rate)
+        if sel(f"ppo-{net}/island [compiled]"):
+            env = make_env("island", compiled=True)
+            rate = measure(
+                PPOTrainer(PPOAgent(env, net=net), VecEnv(env, n)), min(c, 64)
+            )
+            report(f"ppo-{net}/island [compiled]", rate)
 
     # MXU-PPO (round 3): index-native collect + tile-shuffled fast optimize.
     from safe_grid_agents_tpu.training.ppo_mxu import MXUPPOTrainer
 
-    env = make_env("island", compiled=True)
-    trainer = MXUPPOTrainer(
-        PPOAgent(env, net="table"), MXUVecEnv(env, n), mode="fast"
-    )
-    rate = measure(trainer, min(c, 64))
-    report("ppo-table/island [mxu]", rate)
+    if sel("ppo-table/island [mxu"):
+        env = make_env("island", compiled=True)
+        trainer = MXUPPOTrainer(
+            PPOAgent(env, net="table"), MXUVecEnv(env, n), mode="fast"
+        )
+        rate = measure(trainer, min(c, 64))
+        report("ppo-table/island [mxu]", rate)
 
-    # Dispatch-amortized: K chunks scanned in one jit (the CLI's
-    # --chunks-per-dispatch; one ~25-30 ms tunnel round-trip per K chunks).
-    rate = measure_superchunk(trainer, min(c, 64), k_chunks=16)
-    report("ppo-table/island [mxu, K=16]", rate)
+        # Dispatch-amortized: K chunks scanned in one jit (the CLI's
+        # --chunks-per-dispatch; one ~25-30 ms tunnel round-trip per K chunks).
+        rate = measure_superchunk(trainer, min(c, 64), k_chunks=16)
+        report("ppo-table/island [mxu, K=16]", rate)
 
 
 def measure_superchunk(trainer, chunk_steps: int, k_chunks: int,
