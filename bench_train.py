@@ -93,16 +93,18 @@ def main():
     from safe_grid_agents_tpu.envs.mxu import MXUVecEnv
     from safe_grid_agents_tpu.training.tabular_mxu import MXUTabularQTrainer
 
-    if sel("tabular-q/shift [mxu"):
+    if sel("tabular-q/shift [mxu]") or sel("tabular-q/shift [mxu, K=8]"):
         env = make_env("shift", compiled=True)
         tab_mxu = MXUTabularQTrainer(TabularQAgent(env), MXUVecEnv(env, n))
-        rate = measure(tab_mxu, c)
-        report("tabular-q/shift [mxu]", rate)
-        rate = measure_superchunk(tab_mxu, c, k_chunks=8, has_loss=False)
-        report("tabular-q/shift [mxu, K=8]", rate)
+        if sel("tabular-q/shift [mxu]"):
+            rate = measure(tab_mxu, c)
+            report("tabular-q/shift [mxu]", rate)
+        if sel("tabular-q/shift [mxu, K=8]"):
+            rate = measure_superchunk(tab_mxu, c, k_chunks=8, has_loss=False)
+            report("tabular-q/shift [mxu, K=8]", rate)
 
-    env = make_env("sokoban", compiled=True)
     if sel("deep-q/sokoban [compiled]"):
+        env = make_env("sokoban", compiled=True)
         rate = measure(
             DQNTrainer(
                 DQNAgent(env, replay_capacity=1 << 20, batch_size=1024),
@@ -116,16 +118,19 @@ def main():
 
     from safe_grid_agents_tpu.training.dqn_mxu import MXUDQNTrainer
 
-    if sel("deep-q/sokoban [mxu"):
+    if sel("deep-q/sokoban [mxu]") or sel("deep-q/sokoban [mxu, K=8]"):
+        env = make_env("sokoban", compiled=True)
         dqn_mxu = MXUDQNTrainer(
             DQNAgent(env, replay_capacity=1 << 20, batch_size=1024),
             MXUVecEnv(env, n),
             updates_per_chunk=max(1, c // 8),
         )
-        rate = measure(dqn_mxu, c, warmup=16)
-        report("deep-q/sokoban [mxu]", rate)
-        rate = measure_superchunk(dqn_mxu, c, k_chunks=8, warmup=16)
-        report("deep-q/sokoban [mxu, K=8]", rate)
+        if sel("deep-q/sokoban [mxu]"):
+            rate = measure(dqn_mxu, c, warmup=16)
+            report("deep-q/sokoban [mxu]", rate)
+        if sel("deep-q/sokoban [mxu, K=8]"):
+            rate = measure_superchunk(dqn_mxu, c, k_chunks=8, warmup=16)
+            report("deep-q/sokoban [mxu, K=8]", rate)
 
     for net in ("mlp", "cnn", "pallas", "table"):
         if sel(f"ppo-{net}/island [compiled]"):
@@ -138,18 +143,20 @@ def main():
     # MXU-PPO (round 3): index-native collect + tile-shuffled fast optimize.
     from safe_grid_agents_tpu.training.ppo_mxu import MXUPPOTrainer
 
-    if sel("ppo-table/island [mxu"):
+    if sel("ppo-table/island [mxu]") or sel("ppo-table/island [mxu, K=16]"):
         env = make_env("island", compiled=True)
         trainer = MXUPPOTrainer(
             PPOAgent(env, net="table"), MXUVecEnv(env, n), mode="fast"
         )
-        rate = measure(trainer, min(c, 64))
-        report("ppo-table/island [mxu]", rate)
+        if sel("ppo-table/island [mxu]"):
+            rate = measure(trainer, min(c, 64))
+            report("ppo-table/island [mxu]", rate)
 
         # Dispatch-amortized: K chunks scanned in one jit (the CLI's
         # --chunks-per-dispatch; one ~25-30 ms tunnel round-trip per K chunks).
-        rate = measure_superchunk(trainer, min(c, 64), k_chunks=16)
-        report("ppo-table/island [mxu, K=16]", rate)
+        if sel("ppo-table/island [mxu, K=16]"):
+            rate = measure_superchunk(trainer, min(c, 64), k_chunks=16)
+            report("ppo-table/island [mxu, K=16]", rate)
 
 
 def measure_superchunk(trainer, chunk_steps: int, k_chunks: int,
