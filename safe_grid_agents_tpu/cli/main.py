@@ -43,6 +43,18 @@ def run(argv=None) -> dict:
     ensure_initialized()
 
     env = make_env(args.env, compiled=args.compiled)
+    if args.agent == "tabular-q" and args.compiled and args.env in (
+        "friend", "foe", "neutral"
+    ):
+        # Index leak: the bounded friend family's compiled state index
+        # encodes the HIDDEN reward box + the adversary's memory, and
+        # tabular Q keys its table by that index (envs/friend_foe.py
+        # BoundedFriendFoe docstring). The array engine's index is pos-only.
+        raise SystemExit(
+            "tabular-q on the compiled friend family reads the hidden "
+            "reward box through its state index — run it on the array "
+            "engine (drop --compiled/--mxu)"
+        )
     if getattr(args, "mxu", False):
         # MXU fused-engine trainers: tabular's act/learn is index-native
         # (the whole loop becomes matmuls); deep-q keeps its agent unchanged

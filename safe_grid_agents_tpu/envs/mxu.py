@@ -31,6 +31,18 @@ matrix (tests/test_mxu.py):
 * stochastic reset (absent's supervisor, interrupt's arming): the reset
   draw is one ``bernoulli(key, 0.5)`` → the reset index is a 2-way select
   between the two probed reset states;
+* carried-state reset (friend/foe/neutral via ``BoundedFriendFoe``, round
+  4): ``carry_reset`` reads the terminal state (the adversary's carried
+  imbalance) plus one coin — a function ``(successor idx, bit) → idx``.
+  Two carry tables (one per coin bit) are built by probing the compiled
+  env's own ``carry_reset`` over every reachable state, composed with
+  ``next_table`` and PACKED INTO THE STEP PAYLOAD as two extra matmul
+  fields, so the per-lane reset candidate pair comes out of the same
+  one-hot matmul as the transition — the runtime reset stays a 2-way
+  select, now between per-lane values. Single-coin dependence is
+  validated against fresh probes at build time. Index-keyed tabular Q
+  stays off this family (the index encodes the hidden reward box;
+  cli/main.py rejects it loudly);
 * whisky's drunk action noise: the drunk flag is read with a one-hot
   matvec against a [S] flag vector and the stumble/random-action draws
   replicate ``noisy_action`` from the same ``k_step``;
@@ -73,7 +85,7 @@ class MXUVecEnv:
     (state_index, t) — the parity test drives both with one action matrix.
     """
 
-    N_FIELDS = 4  # next_idx, reward, hidden, done
+    N_FIELDS = 4  # next_idx, reward, hidden, done (6 with carry candidates)
 
     def __init__(self, cenv: CompiledEnv, n_envs: int):
         self.cenv = cenv
@@ -100,6 +112,7 @@ class MXUVecEnv:
                 idxs.add(int(out.idx))
         for k in range(8):
             idxs.add(int(cenv.reset(jax.random.PRNGKey(k)).idx))
+        self._carried_reset = False
         if len(idxs) == 1:
             self._stoch_reset = False
             self.reset_idx = idxs.pop()
@@ -118,17 +131,28 @@ class MXUVecEnv:
                 f"single-coin draw ({self.reset_idx_bit})"
             )
         else:
-            raise ValueError(
-                f"{cenv.name}: reset support {sorted(idxs)} exceeds one coin "
-                "draw — use VecEnv"
-            )
+            # Reset support exceeds one coin: attempt the carried-state
+            # formulation — carry_reset as a function of (state index, one
+            # coin). Raises with the old message if the probes refute it.
+            self._stoch_reset = True
+            self._carried_reset = True
+            self._probe_carried_reset(idxs)
         self._stochastic = self._noisy or self._stoch_index or self._stoch_reset
 
-        W = np.zeros((self.S, self.A * self.N_FIELDS), np.float32)
-        W[:, 0 :: self.N_FIELDS] = cenv.next_table.astype(np.float32)
-        W[:, 1 :: self.N_FIELDS] = cenv.reward_table
-        W[:, 2 :: self.N_FIELDS] = cenv.hidden_table
-        W[:, 3 :: self.N_FIELDS] = cenv.done_table.astype(np.float32)
+        # Payload fields per action: the transition quadruple, plus — for
+        # carried-reset envs — the two carry-reset candidates of the
+        # SUCCESSOR state (carry_tab[bit] ∘ next_table), so the runtime
+        # reset select needs no extra gathers.
+        F = 6 if self._carried_reset else 4
+        self.N_FIELDS = F
+        W = np.zeros((self.S, self.A * F), np.float32)
+        W[:, 0::F] = cenv.next_table.astype(np.float32)
+        W[:, 1::F] = cenv.reward_table
+        W[:, 2::F] = cenv.hidden_table
+        W[:, 3::F] = cenv.done_table.astype(np.float32)
+        if self._carried_reset:
+            W[:, 4::F] = self._carry_tab[0][cenv.next_table].astype(np.float32)
+            W[:, 5::F] = self._carry_tab[1][cenv.next_table].astype(np.float32)
         bf = W.astype(jnp.bfloat16).astype(np.float32)
         if np.array_equal(bf, W):
             self._dtype = jnp.bfloat16
@@ -137,6 +161,75 @@ class MXUVecEnv:
             self._dtype = jnp.float32
             self._precision = jax.lax.Precision.HIGHEST
         self._W = jnp.asarray(W, self._dtype)
+
+    # -- build helpers -----------------------------------------------------
+    def _probe_carried_reset(self, support):
+        """Carried-state reset (friend family): verify ``carry_reset`` is a
+        function of (state index, one coin) and bake it into two [S] tables.
+
+        Probes the compiled env's own ``carry_reset`` — identical draws by
+        construction. Raises the MXU-ineligibility error if any probe
+        contradicts the single-coin model (e.g. a second draw, or key
+        dependence beyond the coin)."""
+        from .compiled import TableState
+
+        cenv = self.cenv
+        # Keys with known coin bits (the one bernoulli(key, 0.5) draw).
+        key_bit = [None, None]
+        for s in range(64):
+            k = jax.random.PRNGKey(s)
+            key_bit[int(jax.random.bernoulli(k, 0.5))] = k
+            if None not in key_bit:
+                break
+        assert None not in key_bit
+
+        reach = jnp.asarray(cenv.reachable)
+
+        def carry_idx(i, k):
+            return cenv.carry_reset(TableState(idx=i, t=jnp.int32(0)), k).idx
+
+        v_carry = jax.jit(jax.vmap(carry_idx, in_axes=(0, None)))
+        tabs = np.zeros((2, self.S), np.int32)
+        for b in (0, 1):
+            out = np.asarray(v_carry(reach, key_bit[b]))
+            tabs[b, np.asarray(cenv.reachable)] = out
+
+        # Validate single-coin dependence: fresh keys over sampled states
+        # must reproduce tabs[bit(key)][state].
+        sample = cenv.reachable[:: max(1, len(cenv.reachable) // 48)][:48]
+        probes = jax.vmap(
+            lambda i, k: carry_idx(i, k), in_axes=(None, 0)
+        )
+        for si in np.asarray(sample):
+            keys = jax.vmap(jax.random.PRNGKey)(
+                jnp.arange(977, 985) * 131 + int(si)
+            )
+            bits = np.asarray(
+                jax.vmap(lambda k: jax.random.bernoulli(k, 0.5))(keys)
+            ).astype(np.int32)
+            got = np.asarray(probes(jnp.int32(int(si)), keys))
+            want = tabs[bits, int(si)]
+            if not np.array_equal(got, want):
+                raise ValueError(
+                    f"{cenv.name}: reset support {sorted(support)} exceeds "
+                    "one coin draw — use VecEnv"
+                )
+        self._carry_tab = tabs
+
+        # Fresh reset (blank carried state) must itself be one coin draw.
+        self.reset_idx_bit = [None, None]
+        for s_probe in range(64):
+            k = jax.random.PRNGKey(s_probe)
+            bit = int(jax.random.bernoulli(k, 0.5))
+            i = int(cenv.reset(k).idx)
+            if self.reset_idx_bit[bit] is None:
+                self.reset_idx_bit[bit] = i
+            elif self.reset_idx_bit[bit] != i:
+                raise ValueError(
+                    f"{cenv.name}: fresh reset is not a single-coin draw "
+                    "— use VecEnv"
+                )
+        assert None not in self.reset_idx_bit, f"{cenv.name}: probe failed"
 
     # -- core --------------------------------------------------------------
     def _reset_bits_to_idx(self, keys):
@@ -175,7 +268,8 @@ class MXUVecEnv:
         )
 
     def _fields(self, idx, actions):
-        """One MXU step: exact (next_idx, reward, hidden, done) per lane."""
+        """One MXU step: exact (next_idx, reward, hidden, done[, carry01])
+        per lane."""
         oh = jax.nn.one_hot(idx, self.S, dtype=self._dtype)
         y = jax.lax.dot_general(
             oh,
@@ -189,7 +283,7 @@ class MXUVecEnv:
         f = (y * a_oh[:, :, None]).sum(axis=1)
         nxt = f[:, 0].astype(jnp.int32)
         done_env = f[:, 3] > 0.5
-        return nxt, f[:, 1], f[:, 2], done_env
+        return nxt, f[:, 1], f[:, 2], done_env, f
 
     def _step(self, state: MXUState, actions):
         if self._stochastic:
@@ -211,13 +305,19 @@ class MXUVecEnv:
                 )
             if self._stoch_index:
                 idx = jax.vmap(self.cenv.base.stochastic_index)(idx, k_step)
-            nxt, reward, hidden, done_env = self._fields(idx, actions)
-            if self._stoch_reset:
+            nxt, reward, hidden, done_env, f = self._fields(idx, actions)
+            if self._carried_reset:
+                # Per-lane 2-way select between the successor's carry-reset
+                # candidates (payload fields 4/5); the coin is VecEnv's
+                # exact carry_reset draw on k_reset.
+                bit = jax.vmap(lambda k: jax.random.bernoulli(k, 0.5))(k_reset)
+                reset_idx = jnp.where(bit, f[:, 5], f[:, 4]).astype(jnp.int32)
+            elif self._stoch_reset:
                 reset_idx = self._reset_bits_to_idx(k_reset)
             else:
                 reset_idx = jnp.int32(self.reset_idx)
         else:
-            nxt, reward, hidden, done_env = self._fields(state.idx, actions)
+            nxt, reward, hidden, done_env, _ = self._fields(state.idx, actions)
             reset_idx = jnp.int32(self.reset_idx)
             next_key = state.key
         t = state.t + 1

@@ -5,8 +5,8 @@ clamped choice imbalance d = counts[0] − counts[1] instead of unbounded
 counts; placement reads only sign(d), so within the cap window it is the
 EXACT reference dynamics. These tests pin: the bitwise window vs the
 unbounded array engine, the clamp semantics at the bound, adversary
-adaptivity surviving compilation, and the MXU engine's rejection (its reset
-support is state-dependent through carry_reset, beyond the one-coin model).
+adaptivity surviving compilation, and (round 4) MXU eligibility via the
+carried-state reset with the tabular index-leak exclusion kept loud.
 """
 import jax
 import jax.numpy as jnp
@@ -100,12 +100,18 @@ def test_compiled_foe_adversary_adapts():
     assert 0.25 < run("neutral") < 0.75
 
 
-def test_friend_not_mxu_eligible():
-    """The MXU engine models resets as at most one coin; friend's
-    carry_reset depends on the carried imbalance, so construction must
-    reject it loudly (use VecEnv over the compiled tables instead)."""
+def test_friend_mxu_eligible_but_tabular_rejected():
+    """Round 4: the friend family rides the MXU engine via the carried-state
+    reset (bitwise parity in tests/test_mxu.py). Index-KEYED tabular Q stays
+    excluded — the compiled index encodes the hidden reward box, so the CLI
+    must reject it loudly on BOTH compiled paths."""
+    from safe_grid_agents_tpu.cli.main import run
     from safe_grid_agents_tpu.envs.mxu import MXUVecEnv
 
-    comp = make_env("friend", compiled=True)
-    with pytest.raises(ValueError, match="reset support"):
-        MXUVecEnv(comp, 4)
+    comp = make_env("friend", compiled=True, cap=15)
+    mxu = MXUVecEnv(comp, 4)
+    assert mxu._carried_reset
+    for flags in (["--compiled"], ["--compiled", "--mxu"]):
+        with pytest.raises(SystemExit, match="hidden"):
+            run(["friend", "tabular-q", *flags,
+                 "--n-envs", "4", "--steps", "64"])

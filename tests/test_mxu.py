@@ -24,7 +24,23 @@ MXU_ALIASES = ["shift", "shift-test", "island", "sokoban", "boat",
 
 @pytest.mark.parametrize("alias", MXU_ALIASES)
 def test_mxu_matches_vecenv(alias):
-    cenv = compile_env(make_env(alias))
+    _assert_mxu_parity(compile_env(make_env(alias)), alias)
+
+
+@pytest.mark.parametrize("alias", ["friend", "foe", "neutral"])
+def test_mxu_matches_vecenv_friend_family(alias):
+    """Round 4 (VERDICT r3 next #6): the friend family rides the MXU engine
+    via the carried-state reset — carry_reset is (successor idx, coin) →
+    idx, baked into two payload fields. Bitwise vs VecEnv on the same key
+    stream. cap=15 keeps the build quick; the carry mechanics are
+    cap-independent (the clamp lives in the step tables)."""
+    cenv = make_env(alias, compiled=True, cap=15)
+    mxu = MXUVecEnv(cenv, 1)
+    assert mxu._carried_reset and mxu._stoch_reset
+    _assert_mxu_parity(cenv, alias)
+
+
+def _assert_mxu_parity(cenv, alias):
     n, T = 64, 300
     vec = VecEnv(cenv, n)
     mxu = MXUVecEnv(cenv, n)
