@@ -1,7 +1,7 @@
 """PPO over the MXU fused rollout engine (round-3 flagship perf path).
 
 The base :class:`~.ppo.PPOTrainer` at island/4096 spends ~105 ms per
-64-step chunk (tools/diag_ppo.py): collect ~28 ms (per-step overhead, not
+64-step chunk (tools/diag.py ppo-decomp): collect ~28 ms (per-step overhead, not
 the env), the permutation sort ~6 ms/epoch, minibatch gathers ~1.5 ms each,
 and per-update fwd/bwd/adam ~3 ms — all latency-bound at this geometry
 (the whole net is a 2×128-wide MLP; the MXU is idle >95% of the time).
