@@ -143,6 +143,16 @@ def main():
     # MXU-PPO (round 3): index-native collect + tile-shuffled fast optimize.
     from safe_grid_agents_tpu.training.ppo_mxu import MXUPPOTrainer
 
+    # ppo-cnn on the MXU engine (round 4, VERDICT r3 weak #1): index-native
+    # collect; the conv trunk renders per-minibatch via the obs-table gather.
+    if sel("ppo-cnn/island [mxu]"):
+        env = make_env("island", compiled=True)
+        trainer = MXUPPOTrainer(
+            PPOAgent(env, net="cnn"), MXUVecEnv(env, n), mode="fast"
+        )
+        rate = measure(trainer, min(c, 64))
+        report("ppo-cnn/island [mxu]", rate)
+
     if sel("ppo-table/island [mxu]") or sel("ppo-table/island [mxu, K=16]"):
         env = make_env("island", compiled=True)
         trainer = MXUPPOTrainer(
