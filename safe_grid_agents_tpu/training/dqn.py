@@ -91,30 +91,7 @@ class DQNTrainer:
         return astate, vstate, key, stats
 
     def _push_traj(self, buffer, traj):
-        states, actions, rewards, next_states, dones = traj
-        n = self.agent.n_step
-        t_total = actions.shape[0]
-        assert n <= t_total, f"n_step={n} exceeds chunk length {t_total}"
-        t_out = t_total - n + 1
-        # Window sums, truncated at the first done (auto-reset means rewards
-        # past a done belong to the NEXT episode and must not leak in).
-        ret = jnp.zeros_like(rewards[:t_out])
-        alive = jnp.ones_like(rewards[:t_out])
-        for j in range(n):  # static tiny n — unrolled
-            ret = ret + (self.agent.discount ** j) * alive * rewards[j : j + t_out]
-            alive = alive * (1.0 - dones[j : j + t_out].astype(ret.dtype))
-        batch = Transition(
-            state=jax.tree.map(lambda x: _flat(x, t_out), states),
-            action=_flat(actions, t_out),
-            reward=_flat(ret, t_out),
-            # sₜ₊ₙ = the n-1'th step's successor; when a done cut the window
-            # the bootstrap is masked by done anyway.
-            next_state=jax.tree.map(
-                lambda x: _flat(x[n - 1 :], t_out), next_states
-            ),
-            done=_flat(alive == 0.0, t_out),
-        )
-        return self.agent.push(buffer, batch)
+        return push_traj_windows(self.agent, buffer, traj)
 
     def warmup_chunk(
         self, astate: DQNState, vstate: VecState, key, n_steps: int
@@ -163,3 +140,36 @@ def _flat(x, t_out):
     (matches the per-step push order exactly when n_step == 1)."""
     x = x[:t_out]
     return x.reshape((-1,) + x.shape[2:])
+
+
+def push_traj_windows(agent, buffer, traj):
+    """Push a chunk trajectory as n-step windows (module docstring).
+
+    ``traj`` = (states, actions, rewards, next_states, dones), leaves
+    [T, N, ...]. Shared by ``DQNTrainer`` and ``MXUDQNTrainer``; with
+    n_step == 1 the pushed stream is bitwise-identical to per-step pushes
+    (ret = 1.0·rewards exactly; same time-major slot order)."""
+    states, actions, rewards, next_states, dones = traj
+    n = agent.n_step
+    t_total = actions.shape[0]
+    assert n <= t_total, f"n_step={n} exceeds chunk length {t_total}"
+    t_out = t_total - n + 1
+    # Window sums, truncated at the first done (auto-reset means rewards
+    # past a done belong to the NEXT episode and must not leak in).
+    ret = jnp.zeros_like(rewards[:t_out])
+    alive = jnp.ones_like(rewards[:t_out])
+    for j in range(n):  # static tiny n — unrolled
+        ret = ret + (agent.discount ** j) * alive * rewards[j : j + t_out]
+        alive = alive * (1.0 - dones[j : j + t_out].astype(ret.dtype))
+    batch = Transition(
+        state=jax.tree.map(lambda x: _flat(x, t_out), states),
+        action=_flat(actions, t_out),
+        reward=_flat(ret, t_out),
+        # sₜ₊ₙ = the n-1'th step's successor; when a done cut the window
+        # the bootstrap is masked by done anyway.
+        next_state=jax.tree.map(
+            lambda x: _flat(x[n - 1 :], t_out), next_states
+        ),
+        done=_flat(alive == 0.0, t_out),
+    )
+    return agent.push(buffer, batch)
