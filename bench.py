@@ -165,6 +165,26 @@ def measure_mxu(cenv, label: str, chunk: int, n_envs: int = N_ENVS):
     return _measure_fn(step, chunk * n_envs, label)
 
 
+def measure_pallas(cenv, label: str, chunk: int, n_envs: int = N_ENVS):
+    """Round-4 fused rollout kernel (ops/rollout_kernel.py): the whole
+    T-step scan inside one pallas kernel, same action-draw protocol and
+    bitwise-parity-tested vs the XLA engines (tests/test_rollout_kernel.py)."""
+    from safe_grid_agents_tpu.ops.rollout_kernel import PallasRolloutEngine
+
+    ker = PallasRolloutEngine(cenv, n_envs)
+    ks0 = ker.reset()
+
+    @jax.jit
+    def chunk_fn(state, key):
+        state, acc = ker.run_random_reduced(state, key, chunk)
+        return state, acc["reward_sum"]
+
+    def step(state, key):
+        return chunk_fn(ks0 if state is None else state, key)
+
+    return _measure_fn(step, chunk * n_envs, label)
+
+
 def main():
     _warn_if_contended()
     cenv = compile_env(make_env("shift"))
@@ -181,13 +201,20 @@ def main():
     mxu_rate, mxu_lo, mxu_hi = measure_mxu(cenv, "mxu", 131072)
     print(f"mxu engine:      {mxu_rate/1e6:.1f} M env-steps/s "
           f"[{mxu_lo/1e6:.1f}, {mxu_hi/1e6:.1f}]", file=sys.stderr)
-    # Secondary: the MXU engine keeps scaling with lockstep width past the
+    # Round-4 headline engine: the fused pallas rollout kernel — the whole
+    # T-step scan in one kernel, bitwise-parity-tested vs the XLA engines.
+    pal_rate, pal_lo, pal_hi = measure_pallas(cenv, "pallas", 131072)
+    print(f"pallas kernel:   {pal_rate/1e6:.1f} M env-steps/s "
+          f"[{pal_lo/1e6:.1f}, {pal_hi/1e6:.1f}]", file=sys.stderr)
+    # Secondary: both fast engines keep scaling with lockstep width past the
     # north-star 4096 (PERF.md width table) — report the 65k-lane point so
     # the headline's conscious 4096 choice doesn't hide it.
-    wide_rate, _, _ = measure_mxu(cenv, "mxu-65k", 16384, n_envs=65536)
-    print(f"mxu @65k lanes:  {wide_rate/1e6:.1f} M env-steps/s", file=sys.stderr)
+    wide_rate, _, _ = measure_pallas(cenv, "pallas-65k", 16384, n_envs=65536)
+    print(f"pallas @65k:     {wide_rate/1e6:.1f} M env-steps/s", file=sys.stderr)
 
-    best = max(base_rate, compiled_rate, mxu_rate)
+    best = max(base_rate, compiled_rate, mxu_rate, pal_rate)
+    if pal_rate >= mxu_rate:
+        mxu_lo, mxu_hi = pal_lo, pal_hi  # band follows the winning engine
     print(
         json.dumps(
             {
@@ -201,6 +228,9 @@ def main():
                 # 65,536-lane secondary config (same engine, wider lockstep).
                 "at_65536_lanes": round(wide_rate, 1),
                 "n_envs": N_ENVS,
+                "engine": "pallas-fused-rollout"
+                if pal_rate >= mxu_rate
+                else "xla-mxu",
             }
         )
     )

@@ -1,0 +1,80 @@
+"""Fused pallas rollout kernel ≡ XLA MXU engine, bitwise.
+
+Same payload, same single-randint action protocol, deterministic-reset
+envs → the kernel must reproduce MXUVecEnv exactly: final per-lane state
+bitwise, chunk accumulators equal (integer-valued sums at these sizes, so
+float association cannot differ). Runs in pallas interpret mode on CPU;
+the TPU path is the same kernel compiled (tools/diag.py engine-pallas).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from safe_grid_agents_tpu.envs import make_env
+from safe_grid_agents_tpu.envs.compiled import compile_env
+from safe_grid_agents_tpu.envs.mxu import MXUVecEnv
+from safe_grid_agents_tpu.ops.rollout_kernel import PallasRolloutEngine
+
+
+@pytest.mark.parametrize("alias", ["shift", "island", "sokoban", "boat",
+                                   "corners"])
+def test_pallas_rollout_matches_mxu(alias):
+    cenv = compile_env(make_env(alias))
+    N, T = 256, 256
+    mxu = MXUVecEnv(cenv, N)
+    ker = PallasRolloutEngine(cenv, N)
+
+    actions = jax.random.randint(
+        jax.random.PRNGKey(7), (T, N), 0, cenv.n_actions
+    )
+    mstate = mxu.reset(jax.random.PRNGKey(0))
+    mstate, _ = jax.jit(mxu.run_actions)(mstate, actions)
+
+    kstate = ker.reset()
+    idx, t, epr, eph, epl, racc, eacc, facc = ker.run_actions(kstate, actions)
+
+    np.testing.assert_array_equal(np.asarray(idx)[0], np.asarray(mstate.idx),
+                                  err_msg=f"{alias}: idx")
+    np.testing.assert_array_equal(np.asarray(t)[0], np.asarray(mstate.t))
+    np.testing.assert_array_equal(np.asarray(epr)[0],
+                                  np.asarray(mstate.ep_return))
+    np.testing.assert_array_equal(np.asarray(eph)[0],
+                                  np.asarray(mstate.ep_hidden))
+    np.testing.assert_array_equal(np.asarray(epl)[0],
+                                  np.asarray(mstate.ep_len))
+
+
+def test_pallas_rollout_reduced_matches_mxu_chunked():
+    """Two sequential chunks: episode stats must round-trip through the
+    kernel's state so chunk boundaries are invisible (like MXUState)."""
+    cenv = compile_env(make_env("shift"))
+    N, T = 256, 256
+    mxu = MXUVecEnv(cenv, N)
+    ker = PallasRolloutEngine(cenv, N)
+
+    mstate = mxu.reset(jax.random.PRNGKey(0))
+    kstate = ker.reset()
+    key = jax.random.PRNGKey(3)
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        mstate, macc = jax.jit(mxu.run_random_reduced, static_argnums=2)(
+            mstate, k, T
+        )
+        kstate, kacc = ker.run_random_reduced(kstate, k, T)
+        # Integer-valued sums well under 2^24 → association is invisible.
+        assert float(kacc["reward_sum"]) == float(macc["reward_sum"])
+        assert int(kacc["episodes"]) == int(macc["episodes"])
+        assert float(kacc["finished_return_sum"]) == float(
+            macc["finished_return_sum"]
+        )
+    np.testing.assert_array_equal(np.asarray(kstate[0])[0],
+                                  np.asarray(mstate.idx))
+    np.testing.assert_array_equal(np.asarray(kstate[2])[0],
+                                  np.asarray(mstate.ep_return))
+
+
+def test_pallas_rollout_rejects_stochastic():
+    cenv = compile_env(make_env("absent"))
+    with pytest.raises(AssertionError, match="stochastic"):
+        PallasRolloutEngine(cenv, 64)

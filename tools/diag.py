@@ -15,6 +15,8 @@ fence), reported as the median of >=5 calls. Subcommands:
                   (round-4 VERDICT #3)
   engine-carry    one-hot-carry engine variant vs the shipped one-hot
                   construct engine (round-4 VERDICT #4)
+  engine-pallas   fused pallas rollout kernel vs the XLA MXU engine
+                  (round 4; ops/rollout_kernel.py)
 
 Usage: python tools/diag.py <subcommand> [flags]
 """
@@ -623,6 +625,33 @@ def engine_carry(args):
               n_iter=5, steps_per_call=N * T)
 
 
+def engine_pallas(args):
+    """Fused pallas rollout kernel vs the shipped XLA MXU engine, identical
+    protocol (one presampled randint, reduced accumulators) and fencing."""
+    from safe_grid_agents_tpu.envs import make_env
+    from safe_grid_agents_tpu.envs.compiled import compile_env
+    from safe_grid_agents_tpu.envs.mxu import MXUVecEnv
+    from safe_grid_agents_tpu.ops.rollout_kernel import PallasRolloutEngine
+
+    env = compile_env(make_env("shift"))
+    T = args.t
+
+    for N in args.lanes:
+        mxu = MXUVecEnv(env, N)
+        st0 = mxu.reset(jax.random.PRNGKey(0))
+        runner = jax.jit(mxu.run_random_reduced, static_argnums=2)
+        bench(lambda s, k: runner(s, k, T)[1]["reward_sum"],
+              (st0, jax.random.PRNGKey(1)), f"xla-mxu N={N}",
+              n_iter=5, steps_per_call=N * T)
+
+        ker = PallasRolloutEngine(env, N)
+        ks0 = ker.reset()
+        kr = jax.jit(ker.run_random_reduced, static_argnums=2)
+        bench(lambda s, k: kr(s, k, T)[1]["reward_sum"],
+              (ks0, jax.random.PRNGKey(1)), f"pallas  N={N}",
+              n_iter=5, steps_per_call=N * T)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -656,6 +685,11 @@ def main(argv=None):
     p.add_argument("--t", type=int, default=1024)
     p.add_argument("--lanes", type=int, nargs="*", default=[4096, 65536])
     p.set_defaults(fn=engine_carry)
+
+    p = sub.add_parser("engine-pallas")
+    p.add_argument("--t", type=int, default=16384)
+    p.add_argument("--lanes", type=int, nargs="*", default=[4096])
+    p.set_defaults(fn=engine_pallas)
 
     args = ap.parse_args(argv)
     args.fn(args)
