@@ -103,6 +103,27 @@ def main():
             rate = measure_superchunk(tab_mxu, c, k_chunks=8, has_loss=False)
             report("tabular-q/shift [mxu, K=8]", rate)
 
+    # Fused pallas tabular training kernel (round 4): the whole
+    # act→step→learn loop inside one kernel per chunk.
+    from safe_grid_agents_tpu.training.tabular_pallas import (
+        PallasTabularQTrainer,
+    )
+
+    if (sel("tabular-q/shift [kernel]")
+            or sel("tabular-q/shift [kernel, T=8192]")
+            or sel("tabular-q/shift [kernel, T=32768]")):
+        env = make_env("shift", compiled=True)
+        tab_k = PallasTabularQTrainer(TabularQAgent(env), MXUVecEnv(env, n))
+        if sel("tabular-q/shift [kernel]"):
+            rate = measure(tab_k, c)
+            report("tabular-q/shift [kernel]", rate)
+        if sel("tabular-q/shift [kernel, T=8192]"):
+            rate = measure(tab_k, 8192)
+            report("tabular-q/shift [kernel, T=8192]", rate)
+        if sel("tabular-q/shift [kernel, T=32768]"):
+            rate = measure(tab_k, 32768)
+            report("tabular-q/shift [kernel, T=32768]", rate)
+
     if sel("deep-q/sokoban [compiled]"):
         env = make_env("sokoban", compiled=True)
         rate = measure(

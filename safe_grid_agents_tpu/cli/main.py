@@ -71,9 +71,21 @@ def run(argv=None) -> dict:
         vec = MXUVecEnv(env, args.n_envs)
         agent = make_agent(args.agent, env, **agent_kwargs(args))
         if args.agent == "tabular-q":
-            from ..training.tabular_mxu import MXUTabularQTrainer
+            if args.fused_kernel:
+                if args.cheat or args.n_devices > 1:
+                    raise SystemExit(
+                        "--fused-kernel is single-device and trains on the "
+                        "observed reward; drop --cheat/--n-devices"
+                    )
+                from ..training.tabular_pallas import PallasTabularQTrainer
 
-            trainer = MXUTabularQTrainer(agent, vec, cheat=args.cheat)
+                trainer = PallasTabularQTrainer(agent, vec)
+            else:
+                from ..training.tabular_mxu import MXUTabularQTrainer
+
+                trainer = MXUTabularQTrainer(agent, vec, cheat=args.cheat)
+        elif args.fused_kernel:
+            raise SystemExit("--fused-kernel supports tabular-q only")
         elif args.agent == "deep-q":
             from ..training.dqn_mxu import MXUDQNTrainer
 

@@ -124,6 +124,11 @@ def prepare_parser() -> argparse.ArgumentParser:
                           "native, deep-q collects streaming TableState "
                           "records, and the ppo family collects index-native "
                           "rollouts with the fast optimize layout")
+    run.add_argument("--fused-kernel", action="store_true",
+                     help="with --mxu tabular-q on a deterministic-reset "
+                          "env: run the whole act→step→learn loop inside "
+                          "one pallas kernel (ops/tabular_kernel.py; own "
+                          "bulk-draw RNG protocol, single device)")
     run.add_argument("--mxu-parity", action="store_true",
                      help="with --mxu + a ppo agent: run the base trainer's "
                           "exact optimize instead of the fast layout — "

@@ -143,8 +143,11 @@ def _run(static, w2, state, actions):
     T, N = actions.shape
     NB = min(N, 4096)  # lane block: bounds VMEM at wide lane counts
     assert N % NB == 0
-    assert T % TB == 0, f"chunk length {T} must divide into {TB}-row blocks"
-    n_lane, n_t = N // NB, T // TB
+    tb = TB
+    while T % tb:
+        tb //= 2
+    assert tb >= 1
+    n_lane, n_t = N // NB, T // tb
     AF = A * N_FIELDS
     row = lambda: pl.BlockSpec(  # noqa: E731
         (1, NB), lambda i, j: (0, i), memory_space=pltpu.VMEM
@@ -163,7 +166,7 @@ def _run(static, w2, state, actions):
             row(),  # ep_len0
             pl.BlockSpec((AF, S_pad), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, NB), lambda i, j: (j, i),
+            pl.BlockSpec((tb, NB), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[row() for _ in range(8)],

@@ -1,0 +1,106 @@
+"""Tabular Q-learning fused into a single pallas kernel per chunk.
+
+Counterpart of :class:`~.tabular_mxu.MXUTabularQTrainer` with the whole
+act → env step → TD learn loop inside ONE kernel (`ops/tabular_kernel.py`)
+— no per-iteration XLA launches at all. Same duplicate-averaged batched TD
+and ε anneal; its OWN documented RNG protocol (two bulk presampled draws
+per chunk instead of the per-step split chain — see the kernel module
+docstring), so trajectories are not bitwise with the MXU trainer; learning
+outcomes are gated identically (shift optimum, tests/test_tabular_kernel.py).
+
+Scope: deterministic-reset compiled envs, N ≤ 4096 lanes (single lane
+block keeps the TD batch spanning all N lanes). Eval rides the XLA MXU
+engine's greedy eval (same Q table). CLI: ``<env> tabular-q --compiled
+--mxu --fused-kernel``.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..agents.tabular import TabularQAgent, TabularQState
+from ..envs.mxu import MXUVecEnv
+from ..ops.rollout_kernel import N_FIELDS, _round_up
+from ..ops.tabular_kernel import tabq_run
+from .common import ChunkStats
+
+
+class PallasTabularQTrainer:
+    """Drop-in counterpart of ``MXUTabularQTrainer`` (no DP support — the
+    kernel is single-device; use ``--mxu`` without ``--fused-kernel`` for
+    sharded runs)."""
+
+    def __init__(self, agent: TabularQAgent, mxu: MXUVecEnv):
+        assert not mxu._stochastic, (
+            f"{mxu.cenv.name}: the fused kernel covers deterministic-reset "
+            "envs; stochastic envs keep the MXU trainer"
+        )
+        assert mxu.n_envs <= 4096, "single lane block: use --n-envs <= 4096"
+        self.agent = agent
+        self.vec = mxu
+        self.S, self.A = mxu.S, mxu.A
+        self.S_pad = _round_up(self.S, 64)
+        self.A_pad = _round_up(self.A, 8)
+        W = np.asarray(mxu._W, np.float32)           # [S, A*F]
+        W2 = np.zeros((self.A * N_FIELDS, self.S_pad), np.float32)
+        W2[:, : self.S] = W.T
+        self._w2 = jnp.asarray(W2, mxu._dtype)
+        self._static = (
+            self.S_pad, self.A, self.A_pad, mxu.max_steps, mxu.reset_idx,
+            float(agent.lr), float(agent.discount),
+            float(agent.epsilon), float(agent.epsilon_final),
+            float(max(agent.epsilon_anneal_steps, 1)),
+        )
+
+    def init(self, key) -> Tuple[TabularQState, tuple]:
+        ka, _ = jax.random.split(key)
+        astate = self.agent.init(ka)
+        n = self.vec.n_envs
+        z_i = jnp.zeros((1, n), jnp.int32)
+        z_f = jnp.zeros((1, n), jnp.float32)
+        vstate = (
+            jnp.full((1, n), self.vec.reset_idx, jnp.int32),
+            z_i, z_f, z_f, z_i,
+        )
+        return astate, vstate
+
+    def _qT(self, q):
+        qT = jnp.zeros((self.A_pad, self.S_pad), jnp.float32)
+        return qT.at[: self.A, : self.S].set(q.T)
+
+    def train_chunk(self, astate: TabularQState, vstate, key, n_steps: int):
+        n = self.vec.n_envs
+        k_a, k_u = jax.random.split(key)
+        rand_a = jax.random.randint(k_a, (n_steps, n), 0, self.A)
+        u = jax.random.uniform(k_u, (n_steps, n), jnp.float32)
+        outs = tabq_run(
+            self._static, self._w2, self._qT(astate.q), vstate,
+            astate.step.reshape(1, 1), rand_a, u,
+        )
+        (qT, idx, t, epr, eph, epl, step,
+         eacc, racc, hacc, lacc) = outs
+        astate = TabularQState(
+            q=qT[: self.A, : self.S].T, step=step.reshape(())
+        )
+        stats = ChunkStats(
+            episodes=eacc.sum(),
+            return_sum=racc.sum(),
+            hidden_sum=hacc.sum(),
+            length_sum=lacc.sum(),
+            env_steps=jnp.float32(n_steps * n),
+        )
+        return astate, (idx, t, epr, eph, epl), stats
+
+    def eval_chunk(self, astate, mstate, key, n_steps, min_episodes=None):
+        """Greedy eval on the XLA MXU engine with the learned Q —
+        ``mstate`` is an ``MXUState`` (the driver resets via ``vec.reset``,
+        same as the MXU trainer's eval protocol)."""
+        from .tabular_mxu import MXUTabularQTrainer
+
+        inner = MXUTabularQTrainer(self.agent, self.vec)
+        return inner.eval_chunk(
+            astate, mstate, key, n_steps, min_episodes=min_episodes
+        )

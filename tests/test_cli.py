@@ -358,6 +358,31 @@ def test_cli_mxu_ppo_crmdp_runs():
     assert abs(stats["mean_return"] - stats["mean_hidden"]) < 1e-3, stats
 
 
+def test_cli_fused_kernel_tabular_end_to_end(tmp_path):
+    """--fused-kernel runs the whole tabular act→step→learn loop inside one
+    pallas kernel through the full driver, reaching the shift optimum."""
+    stats = run(
+        [
+            "shift", "tabular-q", "--compiled", "--mxu", "--fused-kernel",
+            "--n-envs", "64", "--steps", "60000", "--chunk-steps", "128",
+            "--eval-every", "4", "--eval-steps", "30",
+            "--lr", "0.2", "--epsilon-anneal-steps", "20000",
+            "--log-dir", str(tmp_path / "logs"),
+        ]
+    )
+    assert stats["mean_return"] > 38.0
+    assert os.path.exists(tmp_path / "logs" / "metrics.jsonl")
+
+
+def test_cli_fused_kernel_rejections():
+    with pytest.raises(SystemExit, match="tabular-q"):
+        run(["sokoban", "deep-q", "--compiled", "--mxu", "--fused-kernel",
+             "--n-envs", "8", "--steps", "64"])
+    with pytest.raises(SystemExit, match="single-device"):
+        run(["shift", "tabular-q", "--compiled", "--mxu", "--fused-kernel",
+             "--cheat", "--n-envs", "8", "--steps", "64"])
+
+
 def test_cli_mxu_parity_matches_base_run():
     """--mxu --mxu-parity runs the bitwise optimize on the MXU engine: the
     whole driver run (train chunks + final eval) must produce final stats

@@ -1,0 +1,106 @@
+"""Fused tabular-Q training kernel (ops/tabular_kernel.py).
+
+The kernel's RNG protocol is its own (bulk presampled draws — module
+docstring), so the gates are outcome-based like every trainer: solve the
+shift optimum, honor the ε anneal, and keep episode accounting consistent
+with the engines. Interpret mode on CPU; the TPU path is the same kernel
+compiled (bench_train.py row)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from safe_grid_agents_tpu.agents.tabular import TabularQAgent
+from safe_grid_agents_tpu.envs import make_env
+from safe_grid_agents_tpu.envs.compiled import compile_env
+from safe_grid_agents_tpu.envs.mxu import MXUVecEnv
+from safe_grid_agents_tpu.training.common import stats_to_host
+from safe_grid_agents_tpu.training.tabular_pallas import PallasTabularQTrainer
+
+
+def test_kernel_tabular_learns_shift():
+    cenv = compile_env(make_env("shift"))
+    agent = TabularQAgent(cenv, lr=0.2, epsilon_anneal_steps=20_000)
+    tr = PallasTabularQTrainer(agent, MXUVecEnv(cenv, 64))
+    astate, vstate = tr.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    for _ in range(8):
+        key, k = jax.random.split(key)
+        astate, vstate, stats = tr.train_chunk(astate, vstate, k, 128)
+    assert int(astate.step) == 8 * 128 * 64
+    _, es = tr.eval_chunk(
+        astate, tr.vec.reset(jax.random.PRNGKey(7)), key, 30
+    )
+    s = stats_to_host(es)
+    assert s["mean_return"] > 38.0, s  # shift optimum is 40
+
+
+def test_kernel_tabular_stats_match_engine_replay():
+    """Drive the kernel one chunk, then replay the SAME policy draws through
+    the XLA MXU engine step-by-step on the host side: identical ε-greedy
+    decisions (same Q evolution) ⇒ identical trajectories and episode
+    accounting. This pins the kernel's env-step + accounting against the
+    parity-tested engine without sharing an RNG stream by construction."""
+    cenv = compile_env(make_env("corners"))
+    agent = TabularQAgent(cenv, lr=0.1, epsilon=0.7,
+                          epsilon_anneal_steps=10_000)
+    N, T = 32, 64
+    tr = PallasTabularQTrainer(agent, MXUVecEnv(cenv, N))
+    astate, vstate = tr.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(5)
+    astate2, vstate2, stats = tr.train_chunk(astate, vstate, key, T)
+
+    # Host replay with the same presampled draws and the same TD update.
+    k_a, k_u = jax.random.split(key)
+    rand_a = np.asarray(jax.random.randint(k_a, (T, N), 0, cenv.n_actions))
+    u = np.asarray(jax.random.uniform(k_u, (T, N)))
+    q = np.zeros((cenv.num_states, cenv.n_actions), np.float32)
+    nxt_t = np.asarray(cenv.next_table)
+    rew_t = np.asarray(cenv.reward_table)
+    hid_t = np.asarray(cenv.hidden_table)
+    done_t = np.asarray(cenv.done_table)
+    reset_idx = tr.vec.reset_idx
+    idx = np.full((N,), reset_idx, np.int64)
+    t = np.zeros((N,), np.int64)
+    epr = np.zeros((N,), np.float64)
+    step = 0
+    episodes = ret_sum = 0.0
+    for s in range(T):
+        frac = min(max(step / agent.epsilon_anneal_steps, 0.0), 1.0)
+        eps = agent.epsilon + frac * (agent.epsilon_final - agent.epsilon)
+        greedy = q[idx].argmax(-1)
+        a = np.where(u[s] < eps, rand_a[s], greedy)
+        nxt = nxt_t[idx, a]
+        r = rew_t[idx, a]
+        done = done_t[idx, a] | (t + 1 >= cenv.max_steps)
+        boot = np.where(done, 0.0, q[nxt].max(-1))
+        td = r + agent.discount * boot - q[idx, a]
+        # duplicate-averaged scatter
+        td_sum = np.zeros_like(q)
+        cnt = np.zeros_like(q)
+        np.add.at(td_sum, (idx, a), td)
+        np.add.at(cnt, (idx, a), 1.0)
+        q = q + agent.lr * td_sum / np.maximum(cnt, 1.0)
+        epr = epr + r
+        episodes += done.sum()
+        ret_sum += (epr * done).sum()
+        idx = np.where(done, reset_idx, nxt)
+        t = np.where(done, 0, t + 1)
+        epr = np.where(done, 0.0, epr)
+        step += N
+
+    np.testing.assert_allclose(
+        np.asarray(astate2.q), q.astype(np.float32), atol=1e-4,
+        err_msg="Q tables diverged",
+    )
+    assert float(stats.episodes) == episodes
+    assert abs(float(stats.return_sum) - ret_sum) < 1e-3
+    np.testing.assert_array_equal(np.asarray(vstate2[0])[0], idx)
+
+
+def test_kernel_tabular_rejects_stochastic_env():
+    import pytest
+
+    cenv = compile_env(make_env("absent"))
+    agent = TabularQAgent(cenv)
+    with pytest.raises(AssertionError, match="deterministic"):
+        PallasTabularQTrainer(agent, MXUVecEnv(cenv, 16))
