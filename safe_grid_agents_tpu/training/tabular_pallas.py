@@ -39,6 +39,16 @@ class PallasTabularQTrainer:
             "envs; stochastic envs keep the MXU trainer"
         )
         assert mxu.n_envs <= 4096, "single lane block: use --n-envs <= 4096"
+        # The step holds ~3 [S_pad, N] f32 tensors live in VMEM (one-hot,
+        # next-one-hot, matmul operands); keep their footprint well under
+        # the ~16 MB budget or fail with a clear message.
+        s_pad = _round_up(mxu.S, 64)
+        vmem_est = 3 * s_pad * mxu.n_envs * 4
+        assert vmem_est <= 12 * 1024 * 1024, (
+            f"{mxu.cenv.name}: S={mxu.S} × N={mxu.n_envs} needs ~"
+            f"{vmem_est >> 20} MB of VMEM — use fewer lanes or the MXU "
+            "trainer (--mxu without --fused-kernel)"
+        )
         self.agent = agent
         self.vec = mxu
         self.S, self.A = mxu.S, mxu.A

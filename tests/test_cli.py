@@ -169,6 +169,17 @@ def test_cli_resume_mxu_ppo_bitwise_twin(tmp_path):
     )
 
 
+def test_cli_resume_fused_kernel_bitwise_twin(tmp_path):
+    """--fused-kernel: the checkpoint carries the kernel's (1, N)-tuple env
+    state + Q table; resume must be unobservable like every other trainer."""
+    _resume_twin(
+        tmp_path,
+        ["corners", "tabular-q", "--compiled", "--mxu", "--fused-kernel",
+         "--n-envs", "32", "--chunk-steps", "16", "--lr", "0.2"],
+        steps_full=16384, steps_half=8192, n_chunks=32,
+    )
+
+
 def test_cli_resume_mxu_dqn_bitwise_twin(tmp_path):
     """--mxu deep-q: the checkpoint carries the TableState replay ring +
     target params; resume must also skip re-warmup (start_chunk > 0)."""
