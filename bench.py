@@ -208,9 +208,19 @@ def main():
           f"[{pal_lo/1e6:.1f}, {pal_hi/1e6:.1f}]", file=sys.stderr)
     # Secondary: both fast engines keep scaling with lockstep width past the
     # north-star 4096 (PERF.md width table) — report the 65k-lane point so
-    # the headline's conscious 4096 choice doesn't hide it.
-    wide_rate, _, _ = measure_pallas(cenv, "pallas-65k", 16384, n_envs=65536)
-    print(f"pallas @65k:     {wide_rate/1e6:.1f} M env-steps/s", file=sys.stderr)
+    # the headline's conscious 4096 choice doesn't hide it. Measured with
+    # whichever engine won the 4096-lane headline, so both JSON numbers come
+    # from ONE engine (and the field is labeled regardless).
+    if pal_rate >= mxu_rate:
+        wide_rate, _, _ = measure_pallas(
+            cenv, "pallas-65k", 16384, n_envs=65536
+        )
+        wide_label = "pallas"
+    else:
+        wide_rate, _, _ = measure_mxu(cenv, "mxu-65k", 16384, n_envs=65536)
+        wide_label = "mxu"
+    print(f"{wide_label} @65k:     {wide_rate/1e6:.1f} M env-steps/s",
+          file=sys.stderr)
 
     best = max(base_rate, compiled_rate, mxu_rate, pal_rate)
     if pal_rate >= mxu_rate:

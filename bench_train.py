@@ -153,6 +153,35 @@ def main():
             rate = measure_superchunk(dqn_mxu, c, k_chunks=8, warmup=16)
             report("deep-q/sokoban [mxu, K=8]", rate)
 
+    # Fused pallas DQN collect kernel (round 5): the T-step collect loop in
+    # one kernel, XLA update phase unchanged (ops/dqn_kernel.py).
+    from safe_grid_agents_tpu.training.dqn_pallas import PallasDQNTrainer
+
+    if (sel("deep-q/sokoban [kernel]") or sel("deep-q/sokoban [kernel, K=8]")
+            or sel("deep-q/sokoban [kernel, T=2048]")):
+        env = make_env("sokoban", compiled=True)
+        dqn_k = PallasDQNTrainer(
+            DQNAgent(env, replay_capacity=1 << 20, batch_size=1024),
+            MXUVecEnv(env, n),
+            updates_per_chunk=max(1, c // 8),
+        )
+        if sel("deep-q/sokoban [kernel]"):
+            rate = measure(dqn_k, c, warmup=16)
+            report("deep-q/sokoban [kernel]", rate)
+        if sel("deep-q/sokoban [kernel, K=8]"):
+            rate = measure_superchunk(dqn_k, c, k_chunks=8, warmup=16)
+            report("deep-q/sokoban [kernel, K=8]", rate)
+        if sel("deep-q/sokoban [kernel, T=2048]"):
+            # Same U/T ratio as the 256-step row (updates_per_chunk scales
+            # with c), amortizing the per-chunk launch+update overheads.
+            dqn_k2 = PallasDQNTrainer(
+                DQNAgent(env, replay_capacity=1 << 20, batch_size=1024),
+                MXUVecEnv(env, n),
+                updates_per_chunk=max(1, 2048 // 8),
+            )
+            rate = measure(dqn_k2, 2048, warmup=16)
+            report("deep-q/sokoban [kernel, T=2048]", rate)
+
     for net in ("mlp", "cnn", "pallas", "table"):
         if sel(f"ppo-{net}/island [compiled]"):
             env = make_env("island", compiled=True)

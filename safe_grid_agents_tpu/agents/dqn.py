@@ -92,12 +92,17 @@ class DQNAgent(Agent):
         self.tx = optax.adam(lr)
         self._v_observe = jax.vmap(env.observe)
 
-    def init(self, key) -> DQNState:
+    def init_params(self, key):
+        """Network params only — no replay ring. Trainers that just need the
+        param pytree STRUCTURE (e.g. MXUDQNTrainer's ravel_pytree closure)
+        use this to avoid a throwaway multi-hundred-MB buffer allocation."""
         if self._table_net:
-            params = self.net.init(key, jnp.zeros((1,), jnp.int32))
-        else:
-            obs = self.env.observe(self.env.reset(key))
-            params = self.net.init(key, obs[None])
+            return self.net.init(key, jnp.zeros((1,), jnp.int32))
+        obs = self.env.observe(self.env.reset(key))
+        return self.net.init(key, obs[None])
+
+    def init(self, key) -> DQNState:
+        params = self.init_params(key)
         example = Transition(
             state=self.env.reset(key),
             action=jnp.int32(0),

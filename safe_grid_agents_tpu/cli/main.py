@@ -55,6 +55,10 @@ def run(argv=None) -> dict:
             "reward box through its state index — run it on the array "
             "engine (drop --compiled/--mxu)"
         )
+    if getattr(args, "fused_kernel", False) and not getattr(args, "mxu", False):
+        # Without this the flag would be silently ignored (it is only
+        # consulted inside the --mxu branch) — fail loudly instead.
+        raise SystemExit("--fused-kernel requires --compiled --mxu")
     if getattr(args, "mxu", False):
         # MXU fused-engine trainers: tabular's act/learn is index-native
         # (the whole loop becomes matmuls); deep-q keeps its agent unchanged
@@ -84,14 +88,28 @@ def run(argv=None) -> dict:
                 from ..training.tabular_mxu import MXUTabularQTrainer
 
                 trainer = MXUTabularQTrainer(agent, vec, cheat=args.cheat)
-        elif args.fused_kernel:
-            raise SystemExit("--fused-kernel supports tabular-q only")
         elif args.agent == "deep-q":
-            from ..training.dqn_mxu import MXUDQNTrainer
+            if args.fused_kernel:
+                if args.n_devices > 1:
+                    raise SystemExit(
+                        "--fused-kernel is single-device; drop --n-devices"
+                    )
+                from ..training.dqn_pallas import PallasDQNTrainer
 
-            trainer = MXUDQNTrainer(
-                agent, vec, cheat=args.cheat,
-                updates_per_chunk=args.updates_per_chunk,
+                trainer = PallasDQNTrainer(
+                    agent, vec, cheat=args.cheat,
+                    updates_per_chunk=args.updates_per_chunk,
+                )
+            else:
+                from ..training.dqn_mxu import MXUDQNTrainer
+
+                trainer = MXUDQNTrainer(
+                    agent, vec, cheat=args.cheat,
+                    updates_per_chunk=args.updates_per_chunk,
+                )
+        elif args.fused_kernel:
+            raise SystemExit(
+                "--fused-kernel supports tabular-q and deep-q only"
             )
         elif args.agent == "ppo-crmdp":
             from ..training.ppo_mxu import MXUCRMDPTrainer

@@ -125,10 +125,13 @@ def prepare_parser() -> argparse.ArgumentParser:
                           "records, and the ppo family collects index-native "
                           "rollouts with the fast optimize layout")
     run.add_argument("--fused-kernel", action="store_true",
-                     help="with --mxu tabular-q on a deterministic-reset "
-                          "env: run the whole act→step→learn loop inside "
-                          "one pallas kernel (ops/tabular_kernel.py; own "
-                          "bulk-draw RNG protocol, single device)")
+                     help="with --mxu on a deterministic-reset env: "
+                          "tabular-q runs the whole act→step→learn loop "
+                          "inside one pallas kernel (ops/tabular_kernel.py) "
+                          "and deep-q runs its collect phase in one kernel "
+                          "(ops/dqn_kernel.py) with the XLA update phase "
+                          "unchanged; own bulk-draw RNG protocol, single "
+                          "device")
     run.add_argument("--mxu-parity", action="store_true",
                      help="with --mxu + a ppo agent: run the base trainer's "
                           "exact optimize instead of the fast layout — "

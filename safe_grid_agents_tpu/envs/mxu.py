@@ -194,26 +194,30 @@ class MXUVecEnv:
             out = np.asarray(v_carry(reach, key_bit[b]))
             tabs[b, np.asarray(cenv.reachable)] = out
 
-        # Validate single-coin dependence: fresh keys over sampled states
-        # must reproduce tabs[bit(key)][state].
-        sample = cenv.reachable[:: max(1, len(cenv.reachable) // 48)][:48]
-        probes = jax.vmap(
-            lambda i, k: carry_idx(i, k), in_axes=(None, 0)
+        # Validate single-coin dependence over ALL reachable states (the
+        # vmapped probe is cheap) with several fresh keys AND at t > 0:
+        # eligibility is probabilistic — decided by probing, not proof — so
+        # cover the whole reachable set and the step counter, refusing
+        # loudly if any probe contradicts the (idx, one-coin) model.
+        def carry_idx_t(i, k, t):
+            return cenv.carry_reset(TableState(idx=i, t=t), k).idx
+
+        v_carry_t = jax.jit(
+            jax.vmap(carry_idx_t, in_axes=(0, None, None))
         )
-        for si in np.asarray(sample):
-            keys = jax.vmap(jax.random.PRNGKey)(
-                jnp.arange(977, 985) * 131 + int(si)
-            )
-            bits = np.asarray(
-                jax.vmap(lambda k: jax.random.bernoulli(k, 0.5))(keys)
-            ).astype(np.int32)
-            got = np.asarray(probes(jnp.int32(int(si)), keys))
-            want = tabs[bits, int(si)]
-            if not np.array_equal(got, want):
-                raise ValueError(
-                    f"{cenv.name}: reset support {sorted(support)} exceeds "
-                    "one coin draw — use VecEnv"
-                )
+        reach_np = np.asarray(cenv.reachable)
+        for s_probe in range(16):
+            k = jax.random.PRNGKey(1009 + 131 * s_probe)
+            bit = int(jax.random.bernoulli(k, 0.5))
+            want = tabs[bit, reach_np]
+            for t_probe in (0, 7):
+                got = np.asarray(v_carry_t(reach, k, jnp.int32(t_probe)))
+                if not np.array_equal(got, want):
+                    raise ValueError(
+                        f"{cenv.name}: carry_reset(t={t_probe}, key probe "
+                        f"{s_probe}) contradicts the (idx, one-coin) model "
+                        f"(reset support {sorted(support)}) — use VecEnv"
+                    )
         self._carry_tab = tabs
 
         # Fresh reset (blank carried state) must itself be one coin draw.

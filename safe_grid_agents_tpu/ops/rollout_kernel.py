@@ -138,11 +138,16 @@ def _kernel(S_pad, A, max_steps, reset_idx, n_t,
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _run(static, w2, state, actions):
-    S_pad, A, max_steps, reset_idx = static
+    S_pad, A, max_steps, reset_idx, nb_cap = static
     idx0, t0, epr0, eph0, epl0 = state
     T, N = actions.shape
-    NB = min(N, 4096)  # lane block: bounds VMEM at wide lane counts
-    assert N % NB == 0
+    NB = min(N, nb_cap)  # lane block: bounds VMEM at wide lane counts
+    if N % NB:
+        raise ValueError(
+            f"lane count {N} must be a multiple of the lane block {NB} "
+            f"(counts > {nb_cap} must be multiples of {nb_cap}; e.g. 8192, "
+            "not 6144)"
+        )
     tb = TB
     while T % tb:
         tb //= 2
@@ -193,7 +198,8 @@ class PallasRolloutEngine:
     """MXUVecEnv-shaped wrapper over the fused kernel (deterministic-reset
     compiled envs only; same payload, same action-draw protocol)."""
 
-    def __init__(self, cenv: CompiledEnv, n_envs: int):
+    def __init__(self, cenv: CompiledEnv, n_envs: int,
+                 lane_block: int = 4096):
         from ..envs.mxu import MXUVecEnv
 
         base = MXUVecEnv(cenv, n_envs)  # reuses reset probing + payload build
@@ -206,6 +212,22 @@ class PallasRolloutEngine:
         self.max_steps = base.max_steps
         self.reset_idx = base.reset_idx
         self.S_pad = _round_up(self.S, 64)
+        # VMEM feasibility (same guard as PallasTabularQTrainer): the step
+        # holds ~2 [S_pad, NB] operands (one-hot + matmul residency) plus
+        # the [A·F, S_pad] payload and double-buffered [TB, NB] actions.
+        nb = min(n_envs, lane_block)
+        vmem_est = (
+            2 * self.S_pad * nb * 4
+            + self.A * N_FIELDS * self.S_pad * 4
+            + 2 * TB * nb * 4
+        )
+        if vmem_est > 12 * 1024 * 1024:
+            raise ValueError(
+                f"{cenv.name}: S={self.S} (padded {self.S_pad}) × lane block "
+                f"{nb} needs ~{vmem_est >> 20} MB of VMEM — pass a smaller "
+                "lane_block or use the XLA MXU engine"
+            )
+        self._lane_block = lane_block
         # W2 = transposed payload [A*F, S_pad]; padding rows never match the
         # one-hot compare (indices < S), so zero columns are inert.
         W = np.asarray(base._W, np.float32)  # [S, A*F]
@@ -214,7 +236,9 @@ class PallasRolloutEngine:
         # Inherit the XLA engine's exactness decision (bf16 only when the
         # whole payload — indices included — is bf16-representable).
         self._w2 = jnp.asarray(W2, base._dtype)
-        self._static = (self.S_pad, self.A, self.max_steps, self.reset_idx)
+        self._static = (
+            self.S_pad, self.A, self.max_steps, self.reset_idx, lane_block
+        )
 
     def reset(self) -> Tuple[jnp.ndarray, ...]:
         """Deterministic reset: (idx, t, ep_return, ep_hidden, ep_len),

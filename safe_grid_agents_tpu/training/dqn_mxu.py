@@ -60,8 +60,10 @@ class MXUDQNTrainer:
         self.cheat = cheat
         self.updates_per_chunk = updates_per_chunk
         self.unroll = unroll
-        # Unravel closure for the flat-param update scan (static pytree shape).
-        p0 = agent.init(jax.random.PRNGKey(0)).params
+        # Unravel closure for the flat-param update scan (static pytree
+        # shape). Params-only init: DQNAgent.init would also allocate the
+        # full replay ring just to be discarded here.
+        p0 = agent.init_params(jax.random.PRNGKey(0))
         self._flat0, self._unravel = ravel_pytree(p0)
 
     def init(self, key) -> Tuple[DQNState, MXUState]:

@@ -1,0 +1,143 @@
+"""DQN with the collect phase fused into a single pallas kernel per chunk.
+
+Counterpart of :class:`~.dqn_mxu.MXUDQNTrainer` with the T-step collect
+loop (ε-greedy act → env step → record) inside ONE kernel
+(`ops/dqn_kernel.py`) — deleting the ~28 ms/chunk per-step kernel-launch
+floor that PERF.md's round-4 decomposition pins as the trainer's roof
+(~37 M steps/s asymptote). The update phase is INHERITED UNCHANGED from
+``MXUDQNTrainer`` (flat-param adam scan, one roll-based ring write, ~3 ms
+device per chunk), so n-step windows, double-Q, PER, and target sync all
+keep their bitwise-pinned semantics.
+
+In-kernel acting needs no MLP: during a collect chunk the params are
+frozen, and a compiled env's Q is a pure function of the state index
+(`agents/dqn.py::q_values` — both the MLP and table-net paths), so the
+whole network evaluates once per chunk into ``Q_all = q_values(params,
+arange(S))`` and the kernel reads it back as a table matmul. Works for
+BOTH ``--table-net`` and the plain MLP.
+
+RNG protocol: this trainer's OWN documented bulk-draw contract (see the
+kernel module docstring) — two presampled [T, N] threefry draws per chunk,
+NOT the MXU trainer's per-step split chain; trajectories are therefore not
+bitwise with ``MXUDQNTrainer``. Gates: host-replay equivalence
+(tests/test_dqn_kernel.py) + the sokoban learning optimum through the CLI.
+
+Scope: deterministic-reset compiled envs (sokoban = BASELINE config 3),
+single device. CLI: ``<env> deep-q --compiled --mxu --fused-kernel``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..agents.dqn import DQNAgent, Transition
+from ..envs.compiled import TableState
+from ..envs.mxu import MXUState, MXUVecEnv
+from ..ops.dqn_kernel import TB_REC, dqn_collect_run, pick_lane_block
+from ..ops.rollout_kernel import N_FIELDS, _round_up
+from .common import ChunkStats
+from .dqn import push_traj_windows
+from .dqn_mxu import MXUDQNTrainer
+
+
+class PallasDQNTrainer(MXUDQNTrainer):
+    """MXUDQNTrainer with the collect phase replaced by the fused kernel
+    (single-device; DP runs keep ``--mxu`` without ``--fused-kernel``)."""
+
+    def __init__(self, agent: DQNAgent, mxu: MXUVecEnv, cheat: bool = False,
+                 updates_per_chunk: int | None = None, unroll: int = 4):
+        assert not mxu._stochastic, (
+            f"{mxu.cenv.name}: the fused collect kernel covers "
+            "deterministic-reset envs; stochastic envs keep the MXU trainer"
+        )
+        super().__init__(
+            agent, mxu, cheat=cheat, updates_per_chunk=updates_per_chunk,
+            unroll=unroll,
+        )
+        self.S, self.A = mxu.S, mxu.A
+        self.S_pad = _round_up(self.S, 64)
+        self.A_pad = _round_up(self.A, 8)
+        nb = pick_lane_block(self.S_pad, mxu.n_envs)
+        if mxu.n_envs % nb:
+            raise ValueError(
+                f"{mxu.cenv.name}: --n-envs {mxu.n_envs} is not a multiple "
+                f"of the kernel lane block {nb}"
+            )
+        W = np.asarray(mxu._W, np.float32)           # [S, A*F]
+        W2 = np.zeros((self.A * N_FIELDS, self.S_pad), np.float32)
+        W2[:, : self.S] = W.T
+        self._w2 = jnp.asarray(W2, mxu._dtype)
+        base = (
+            self.S_pad, self.A, self.A_pad, mxu.max_steps, mxu.reset_idx, nb
+        )
+        anneal = float(max(agent.epsilon_anneal_steps, 1))
+        self._static = base + (
+            float(agent.epsilon), float(agent.epsilon_final), anneal,
+            bool(cheat),
+        )
+        # Warmup = the same kernel with ε pinned to 1.0: u ∈ [0, 1) < 1
+        # always, so every action is the presampled uniform draw.
+        self._static_warm = base + (1.0, 1.0, anneal, bool(cheat))
+        # All-states probe for the frozen-params Q table (t is irrelevant:
+        # compiled observations depend on idx only).
+        self._all_states = TableState(
+            idx=jnp.arange(self.S, dtype=jnp.int32),
+            t=jnp.zeros((self.S,), jnp.int32),
+        )
+
+    def _q_table(self, params):
+        q_all = self.agent.q_values(params, self._all_states)   # [S, A]
+        qT = jnp.zeros((self.A_pad, self.S_pad), jnp.float32)
+        return qT.at[: self.A, : self.S].set(q_all.T.astype(jnp.float32))
+
+    def _collect(self, astate, mstate, key, n_steps: int,
+                 random_policy: bool):
+        if n_steps % TB_REC:
+            raise ValueError(
+                f"--chunk-steps {n_steps} must be a multiple of {TB_REC} "
+                "for --fused-kernel deep-q"
+            )
+        n = self.vec.n_envs
+        k_a, k_u, k_out = jax.random.split(key, 3)
+        rand_a = jax.random.randint(k_a, (n_steps, n), 0, self.A)
+        u = jax.random.uniform(k_u, (n_steps, n), jnp.float32)
+        state = (
+            mstate.idx[None, :], mstate.t[None, :],
+            mstate.ep_return[None, :], mstate.ep_hidden[None, :],
+            mstate.ep_len[None, :],
+        )
+        static = self._static_warm if random_policy else self._static
+        outs = dqn_collect_run(
+            static, self._q_table(astate.params), self._w2, state,
+            astate.step.reshape(1, 1), rand_a, u,
+        )
+        (idx, t, epr, eph, epl, step, eacc, racc, hacc, lacc,
+         pidx, pt, act, rew, nidx, done) = outs
+        astate = astate.replace(step=step.reshape(()))
+        # next_t: the MXU record stores where(done, pre.t+1, post.t) and the
+        # post-step t is pre.t+1 whenever not done — so it is pre.t+1 in
+        # both branches (bitwise-identical to dqn_mxu's stored record).
+        done_b = done.astype(bool)
+        traj = (
+            TableState(idx=pidx, t=pt),
+            act,
+            rew,
+            TableState(idx=nidx, t=pt + 1),
+            done_b,
+        )
+        astate = astate.replace(
+            buffer=push_traj_windows(self.agent, astate.buffer, traj)
+        )
+        mstate = MXUState(
+            idx=idx[0], t=t[0], ep_return=epr[0], ep_hidden=eph[0],
+            ep_len=epl[0], key=mstate.key,
+        )
+        stats = ChunkStats(
+            episodes=eacc.sum(),
+            return_sum=racc.sum(),
+            hidden_sum=hacc.sum(),
+            length_sum=lacc.sum(),
+            env_steps=jnp.float32(n_steps * n),
+        )
+        return astate, mstate, k_out, stats

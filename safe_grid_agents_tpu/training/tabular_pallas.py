@@ -64,6 +64,12 @@ class PallasTabularQTrainer:
             float(agent.epsilon), float(agent.epsilon_final),
             float(max(agent.epsilon_anneal_steps, 1)),
         )
+        # Eval rides the XLA MXU trainer's greedy eval; build it ONCE here
+        # (building per eval_chunk call rebuilt the payload and re-traced
+        # eval at every eval boundary — VERDICT r4 weak #5).
+        from .tabular_mxu import MXUTabularQTrainer
+
+        self._eval_trainer = MXUTabularQTrainer(agent, mxu)
 
     def init(self, key) -> Tuple[TabularQState, tuple]:
         ka, _ = jax.random.split(key)
@@ -108,9 +114,6 @@ class PallasTabularQTrainer:
         """Greedy eval on the XLA MXU engine with the learned Q —
         ``mstate`` is an ``MXUState`` (the driver resets via ``vec.reset``,
         same as the MXU trainer's eval protocol)."""
-        from .tabular_mxu import MXUTabularQTrainer
-
-        inner = MXUTabularQTrainer(self.agent, self.vec)
-        return inner.eval_chunk(
+        return self._eval_trainer.eval_chunk(
             astate, mstate, key, n_steps, min_episodes=min_episodes
         )

