@@ -9,17 +9,25 @@ the fused treatment splits exactly there: collect runs in ONE kernel, the
 (already cheap, fully-featured) XLA update phase is reused unchanged —
 n-step / double-Q / PER / target sync all keep working bit-for-bit.
 
-The key collapse: during a collect chunk the params are FROZEN, and for a
-compiled env the Q function is a pure function of the state index (both
-the table-net and the MLP path read observations that depend only on
-``idx`` — `agents/dqn.py::q_values`). So the whole network evaluates ONCE
-per chunk into a Q TABLE ``Q_all = q_values(params, arange(S))`` ([S, A],
-a tiny batched forward), and in-kernel acting is the tabular kernel's
-readout matmul — no MLP inside the kernel at all:
+Two collapses make the in-kernel step ONE small bf16 matmul:
 
-    qaT [A_pad, N] = QT @ ohT          ε-greedy readout (MXU)
-    greedy (1, N)  = first-max over A  (argmax tie rule preserved)
-    yT  [A·F, N]   = W2 @ ohT          env step (rollout kernel payload)
+1. During a collect chunk the params are FROZEN, and for a compiled env Q
+   is a pure function of the state index (both the table-net and the MLP
+   path — `agents/dqn.py::q_values`). So the whole network evaluates once
+   per chunk into ``Q_all = q_values(params, arange(S))``, and its
+   first-max argmax bakes into a GREEDY-ACTION ROW of the payload — the
+   kernel never touches a Q value, deleting the f32-HIGHEST readout
+   matmul a naive port would pay per step.
+2. The only payload field that is not bf16-exact is ``next_idx`` (states
+   run past 255); split it into hi/lo BYTES (both ≤ 255, bf16-exact) and
+   recombine ``nxt = hi·256 + lo`` after the dot. With integer rewards
+   (every suite env) the whole payload is then bf16-exact, so the matmul
+   runs at bf16 MXU rate while staying bitwise (one-hot dots of exact
+   values, f32 accumulation).
+
+    yT [A·5+1, N] = W @ ohT      hi, lo, reward, hidden, done per action
+                                 + the greedy row (one bf16 MXU matmul)
+    action (1, N) = where(u < ε(step), rand_a, greedy)
     records [tb,N] = (pre_idx, pre_t, action, reward, next_idx, done)
                      streamed OUT per T-block (auto double-buffered)
 
@@ -29,7 +37,7 @@ splits into (k_actions, k_uniform); ``randint(k_actions, [T, N])`` and
 ``uniform(k_uniform, [T, N])`` are presampled with threefry OUTSIDE the
 kernel and streamed in; per step ``explore = u_t < ε(step_t)`` with the
 same linear anneal, the step counter advancing by N per vector step.
-Warmup reuses the kernel with ε pinned to 1.0 (u ∈ [0,1) < 1 always ⇒
+Warmup reuses the kernel with ε pinned to 1.0 (u ∈ [0, 1) < 1 always ⇒
 action = the presampled uniform action, i.e. the random policy).
 
 Geometry: grid (lane blocks, T blocks), T innermost; the lane block NB is
@@ -39,8 +47,8 @@ where shift's S=63 runs a single 4096-lane block).
 
 Scope: deterministic-reset compiled envs (sokoban — BASELINE config 3 —
 shift, island, boat, conveyor, toy). Stochastic aliases keep the XLA MXU
-trainer. Reference counterpart: the reference's single-env Python
-collect loop (SURVEY.md §3.1 hot loop); nothing like this exists there.
+trainer. Reference counterpart: the reference's single-env Python collect
+loop (SURVEY.md §3.1 hot loop); nothing like this exists there.
 """
 from __future__ import annotations
 
@@ -52,14 +60,33 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .rollout_kernel import N_FIELDS, _interpret, _round_up
+from .rollout_kernel import _interpret, _round_up
 
-TB_REC = 16  # T-block: 6 record streams are live per block — keep it small
+TB_REC = 16   # T-block: 6 record streams are live per block — keep it small
+F_K = 5       # payload fields per action: next_hi, next_lo, reward, hidden, done
 
 
-def _kernel(S_pad, A, A_pad, max_steps, reset_idx, n_lane, n_t, n_total,
+def build_payload(mxu) -> np.ndarray:
+    """[A·F_K + 1, S_pad] static payload (greedy row appended per chunk):
+    per-action (next_hi, next_lo, reward, hidden, done) columns over states.
+    Returns the f32 array; the caller decides bf16 eligibility."""
+    S, A = mxu.S, mxu.A
+    S_pad = _round_up(S, 64)
+    cenv = mxu.cenv
+    W = np.zeros((A * F_K, S_pad), np.float32)
+    nxt = np.asarray(cenv.next_table, np.int64)        # [S, A]
+    assert nxt.max() < 1 << 16, "hi/lo byte split needs S < 65536"
+    W[0::F_K, :S] = (nxt // 256).T
+    W[1::F_K, :S] = (nxt % 256).T
+    W[2::F_K, :S] = np.asarray(cenv.reward_table, np.float32).T
+    W[3::F_K, :S] = np.asarray(cenv.hidden_table, np.float32).T
+    W[4::F_K, :S] = np.asarray(cenv.done_table, np.float32).T
+    return W
+
+
+def _kernel(S_pad, A, max_steps, reset_idx, n_lane, n_t, n_total,
             eps0, epsf, anneal, use_hidden,
-            idx0, t0, epr0, eph0, epl0, step0, qT, w2, rand_a, u,
+            idx0, t0, epr0, eph0, epl0, step0, w, rand_a, u,
             idx_o, t_o, epr_o, eph_o, epl_o, step_o,
             eacc_o, racc_o, hacc_o, lacc_o,
             pidx_r, pt_r, act_r, rew_r, nidx_r, done_r,
@@ -68,7 +95,6 @@ def _kernel(S_pad, A, A_pad, max_steps, reset_idx, n_lane, n_t, n_total,
     i = pl.program_id(0)
     j = pl.program_id(1)
     N = idx0.shape[1]
-    F = N_FIELDS
 
     @pl.when(j == 0)
     def _():
@@ -81,51 +107,37 @@ def _kernel(S_pad, A, A_pad, max_steps, reset_idx, n_lane, n_t, n_total,
             ref[:] = jnp.zeros_like(ref)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (S_pad, N), 0)
-    w2_dtype = w2.dtype
+    w_dtype = w.dtype
     precision = (
         jax.lax.Precision.DEFAULT
-        if w2_dtype == jnp.bfloat16
+        if w_dtype == jnp.bfloat16
         else jax.lax.Precision.HIGHEST
     )
-    hi = jax.lax.Precision.HIGHEST
 
     def step(s, _):
         idx = idx_s[:]                                     # (1, N)
-        ohT_b = (rows == idx)
-        ohT_f = ohT_b.astype(jnp.float32)
-
-        # -- ε-greedy act off the frozen-params Q table --------------------
-        qa = jax.lax.dot_general(                          # [A_pad, N]
-            qT[:], ohT_f, (((1,), (0,)), ((), ())),
-            precision=hi, preferred_element_type=jnp.float32,
+        ohT = (rows == idx).astype(w_dtype)                 # [S_pad, N]
+        yT = jax.lax.dot_general(                           # [A·F_K+1, N]
+            w[:], ohT, (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
         )
-        m = qa[0:1, :]
-        for a in range(1, A):
-            m = jnp.maximum(m, qa[a : a + 1, :])
-        greedy = jnp.full_like(idx, A - 1)
-        for a in range(A - 2, -1, -1):
-            greedy = jnp.where(qa[a : a + 1, :] == m, a, greedy)
+        greedy = yT[A * F_K : A * F_K + 1, :].astype(jnp.int32)
         step_t = step0[0, 0] + (j * TB_REC + s) * n_total
         frac = jnp.clip(step_t.astype(jnp.float32) / anneal, 0.0, 1.0)
         eps_t = eps0 + frac * (epsf - eps0)
         explore = u[pl.ds(s, 1), :] < eps_t
         action = jnp.where(explore, rand_a[pl.ds(s, 1), :], greedy)
 
-        # -- env step (rollout kernel's matmul payload) --------------------
-        yT = jax.lax.dot_general(
-            w2[:], ohT_b.astype(w2_dtype), (((1,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32,
-        )
         masks = [(action == a).astype(jnp.float32) for a in range(A)]
         f = []
-        for k in range(F):
+        for k in range(F_K):
             acc = None
             for a in range(A):
-                term = yT[a * F + k : a * F + k + 1, :] * masks[a]
+                term = yT[a * F_K + k : a * F_K + k + 1, :] * masks[a]
                 acc = term if acc is None else acc + term
             f.append(acc)
-        nxt_f, reward, hidden, done_f = f
-        nxt = nxt_f.astype(jnp.int32)
+        hi, lo, reward, hidden, done_f = f
+        nxt = hi.astype(jnp.int32) * 256 + lo.astype(jnp.int32)
         t = t_s[:] + 1
         done = (done_f > 0.5) | (t >= max_steps)
         done_x = done.astype(jnp.float32)
@@ -175,8 +187,8 @@ def _kernel(S_pad, A, A_pad, max_steps, reset_idx, n_lane, n_t, n_total,
 
 def pick_lane_block(S_pad: int, n_envs: int, budget=10 * 1024 * 1024) -> int:
     """Largest power-of-two lane block (≤ 4096, dividing n_envs) whose
-    working set — ~2 live [S_pad, NB] f32 one-hot operands plus the
-    double-buffered record/draw streams — fits the VMEM budget."""
+    working set — ~2 live [S_pad, NB] operands plus the double-buffered
+    record/draw streams — fits the VMEM budget."""
     nb = min(n_envs, 4096)
     while nb > 128:
         est = 2 * S_pad * nb * 4 + (6 + 2) * TB_REC * nb * 4 * 2
@@ -187,10 +199,12 @@ def pick_lane_block(S_pad: int, n_envs: int, budget=10 * 1024 * 1024) -> int:
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def dqn_collect_run(static, qT, w2, state, step0, rand_a, u):
-    """One fused collect chunk. Returns (final state rows, step counter,
-    stat accumulators, record streams [T, N] × 6)."""
-    (S_pad, A, A_pad, max_steps, reset_idx, nb,
+def dqn_collect_run(static, w, state, step0, rand_a, u):
+    """One fused collect chunk. ``w`` is the [A·F_K + 1, S_pad] payload WITH
+    the per-chunk greedy row appended (trainer builds it from the frozen
+    params). Returns (final state rows, stat accumulators, step counter,
+    record streams [T, N] × 6)."""
+    (S_pad, A, max_steps, reset_idx, nb,
      eps0, epsf, anneal, use_hidden) = static
     idx0, t0, epr0, eph0, epl0 = state
     T, N = rand_a.shape
@@ -199,7 +213,7 @@ def dqn_collect_run(static, qT, w2, state, step0, rand_a, u):
     if N % nb:
         raise ValueError(f"lane count {N} not a multiple of lane block {nb}")
     n_lane, n_t = N // nb, T // TB_REC
-    AF = A * N_FIELDS
+    AF = A * F_K + 1
     i32, f32 = jnp.int32, jnp.float32
     row = lambda: pl.BlockSpec(  # noqa: E731
         (1, nb), lambda i, j: (0, i), memory_space=pltpu.VMEM
@@ -209,17 +223,15 @@ def dqn_collect_run(static, qT, w2, state, step0, rand_a, u):
     )
     outs = pl.pallas_call(
         functools.partial(
-            _kernel, S_pad, A, A_pad, max_steps, reset_idx, n_lane, n_t, N,
+            _kernel, S_pad, A, max_steps, reset_idx, n_lane, n_t, N,
             eps0, epsf, anneal, use_hidden,
         ),
         grid=(n_lane, n_t),
         in_specs=[
             row(), row(), row(), row(), row(),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # step0 (1, 1)
-            pl.BlockSpec((A_pad, S_pad), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),   # Q table (frozen)
             pl.BlockSpec((AF, S_pad), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),   # env payload
+                         memory_space=pltpu.VMEM),   # payload + greedy row
             stream(),  # rand_a
             stream(),  # u
         ],
@@ -249,5 +261,5 @@ def dqn_collect_run(static, qT, w2, state, step0, rand_a, u):
             pltpu.VMEM((1, nb), f32),   # finished length acc
         ],
         interpret=_interpret(),
-    )(idx0, t0, epr0, eph0, epl0, step0, qT, w2, rand_a, u)
+    )(idx0, t0, epr0, eph0, epl0, step0, w, rand_a, u)
     return outs

@@ -9,12 +9,13 @@ floor that PERF.md's round-4 decomposition pins as the trainer's roof
 device per chunk), so n-step windows, double-Q, PER, and target sync all
 keep their bitwise-pinned semantics.
 
-In-kernel acting needs no MLP: during a collect chunk the params are
-frozen, and a compiled env's Q is a pure function of the state index
-(`agents/dqn.py::q_values` — both the MLP and table-net paths), so the
-whole network evaluates once per chunk into ``Q_all = q_values(params,
-arange(S))`` and the kernel reads it back as a table matmul. Works for
-BOTH ``--table-net`` and the plain MLP.
+In-kernel acting needs no MLP — and no Q values at all: during a collect
+chunk the params are frozen, and a compiled env's Q is a pure function of
+the state index (`agents/dqn.py::q_values` — both the MLP and table-net
+paths), so the whole network evaluates once per chunk into ``Q_all =
+q_values(params, arange(S))`` whose argmax bakes into a greedy-action
+payload row (kernel module doc). Works for BOTH ``--table-net`` and the
+plain MLP.
 
 RNG protocol: this trainer's OWN documented bulk-draw contract (see the
 kernel module docstring) — two presampled [T, N] threefry draws per chunk,
@@ -34,8 +35,10 @@ import numpy as np
 from ..agents.dqn import DQNAgent, Transition
 from ..envs.compiled import TableState
 from ..envs.mxu import MXUState, MXUVecEnv
-from ..ops.dqn_kernel import TB_REC, dqn_collect_run, pick_lane_block
-from ..ops.rollout_kernel import N_FIELDS, _round_up
+from ..ops.dqn_kernel import (
+    TB_REC, build_payload, dqn_collect_run, pick_lane_block,
+)
+from ..ops.rollout_kernel import _round_up
 from .common import ChunkStats
 from .dqn import push_traj_windows
 from .dqn_mxu import MXUDQNTrainer
@@ -57,19 +60,24 @@ class PallasDQNTrainer(MXUDQNTrainer):
         )
         self.S, self.A = mxu.S, mxu.A
         self.S_pad = _round_up(self.S, 64)
-        self.A_pad = _round_up(self.A, 8)
         nb = pick_lane_block(self.S_pad, mxu.n_envs)
         if mxu.n_envs % nb:
             raise ValueError(
                 f"{mxu.cenv.name}: --n-envs {mxu.n_envs} is not a multiple "
                 f"of the kernel lane block {nb}"
             )
-        W = np.asarray(mxu._W, np.float32)           # [S, A*F]
-        W2 = np.zeros((self.A * N_FIELDS, self.S_pad), np.float32)
-        W2[:, : self.S] = W.T
-        self._w2 = jnp.asarray(W2, mxu._dtype)
+        # hi/lo-split payload (kernel module doc): bf16 when the reward /
+        # hidden columns are bf16-exact (hi/lo/done/greedy always are) —
+        # the dots stay bitwise either way, bf16 just runs ~6× fewer MXU
+        # passes per step than f32 HIGHEST.
+        W = build_payload(mxu)                        # [A*F_K, S_pad] f32
+        if np.array_equal(W.astype(jnp.bfloat16).astype(np.float32), W):
+            self._dtype = jnp.bfloat16
+        else:
+            self._dtype = jnp.float32
+        self._w_static = jnp.asarray(W, self._dtype)
         base = (
-            self.S_pad, self.A, self.A_pad, mxu.max_steps, mxu.reset_idx, nb
+            self.S_pad, self.A, mxu.max_steps, mxu.reset_idx, nb
         )
         anneal = float(max(agent.epsilon_anneal_steps, 1))
         self._static = base + (
@@ -86,10 +94,13 @@ class PallasDQNTrainer(MXUDQNTrainer):
             t=jnp.zeros((self.S,), jnp.int32),
         )
 
-    def _q_table(self, params):
+    def _payload(self, params):
+        """Static payload + the frozen-params greedy row (first-max argmax
+        over the once-per-chunk network evaluation; ≤ A so always exact)."""
         q_all = self.agent.q_values(params, self._all_states)   # [S, A]
-        qT = jnp.zeros((self.A_pad, self.S_pad), jnp.float32)
-        return qT.at[: self.A, : self.S].set(q_all.T.astype(jnp.float32))
+        g = jnp.argmax(q_all, axis=-1).astype(self._dtype)      # [S]
+        row = jnp.zeros((1, self.S_pad), self._dtype).at[0, : self.S].set(g)
+        return jnp.concatenate([self._w_static, row], axis=0)
 
     def _collect(self, astate, mstate, key, n_steps: int,
                  random_policy: bool):
@@ -109,7 +120,7 @@ class PallasDQNTrainer(MXUDQNTrainer):
         )
         static = self._static_warm if random_policy else self._static
         outs = dqn_collect_run(
-            static, self._q_table(astate.params), self._w2, state,
+            static, self._payload(astate.params), state,
             astate.step.reshape(1, 1), rand_a, u,
         )
         (idx, t, epr, eph, epl, step, eacc, racc, hacc, lacc,

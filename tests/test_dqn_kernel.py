@@ -125,9 +125,10 @@ def test_dqn_kernel_multi_lane_block_matches_single():
     N, T = 64, TB_REC
     tr = PallasDQNTrainer(agent, MXUVecEnv(cenv, N))
     astate, mstate = tr.init(jax.random.PRNGKey(0))
-    # Force the multi-block path by shrinking the static lane block.
+    # Force the multi-block path by shrinking the static lane block
+    # (index 4 of the static tuple).
     s = tr._static
-    tr._static = s[:5] + (16,) + s[6:]
+    tr._static = s[:4] + (16,) + s[5:]
     a2, m2, _, st2 = tr._collect(astate, mstate, jax.random.PRNGKey(3), T,
                                  random_policy=False)
     tr._static = s
