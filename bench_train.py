@@ -203,6 +203,22 @@ def main():
         rate = measure(trainer, min(c, 64))
         report("ppo-cnn/island [mxu]", rate)
 
+    # Fused pallas PPO optimize kernel (round 5): the whole epochs ×
+    # minibatches update phase in one kernel (ops/ppo_kernel.py).
+    from safe_grid_agents_tpu.training.ppo_pallas import PallasPPOTrainer
+
+    if sel("ppo-table/island [kernel]") or sel("ppo-table/island [kernel, K=16]"):
+        env = make_env("island", compiled=True)
+        ppo_k = PallasPPOTrainer(
+            PPOAgent(env, net="table"), MXUVecEnv(env, n)
+        )
+        if sel("ppo-table/island [kernel]"):
+            rate = measure(ppo_k, min(c, 64))
+            report("ppo-table/island [kernel]", rate)
+        if sel("ppo-table/island [kernel, K=16]"):
+            rate = measure_superchunk(ppo_k, min(c, 64), k_chunks=16)
+            report("ppo-table/island [kernel, K=16]", rate)
+
     if sel("ppo-table/island [mxu]") or sel("ppo-table/island [mxu, K=16]"):
         env = make_env("island", compiled=True)
         trainer = MXUPPOTrainer(

@@ -86,6 +86,8 @@ class PPOAgent(Agent):
         self.value_coef = value_coef
         self.epochs = epochs
         self.n_minibatches = n_minibatches
+        self.lr = lr
+        self.max_grad_norm = max_grad_norm
         self.tx = optax.chain(
             optax.clip_by_global_norm(max_grad_norm), optax.adam(lr)
         )

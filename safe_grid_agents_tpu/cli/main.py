@@ -107,15 +107,29 @@ def run(argv=None) -> dict:
                     agent, vec, cheat=args.cheat,
                     updates_per_chunk=args.updates_per_chunk,
                 )
-        elif args.fused_kernel:
-            raise SystemExit(
-                "--fused-kernel supports tabular-q and deep-q only"
-            )
         elif args.agent == "ppo-crmdp":
+            if args.fused_kernel:
+                raise SystemExit(
+                    "--fused-kernel supports tabular-q, deep-q, and "
+                    "ppo-mlp --table-net"
+                )
             from ..training.ppo_mxu import MXUCRMDPTrainer
 
             mode = "parity" if args.mxu_parity else "fast"
             trainer = MXUCRMDPTrainer(agent, vec, mode=mode)
+        elif args.fused_kernel:
+            if args.n_devices > 1:
+                raise SystemExit(
+                    "--fused-kernel is single-device; drop --n-devices"
+                )
+            if not getattr(args, "table_net", False):
+                raise SystemExit(
+                    "--fused-kernel ppo requires --table-net (the optimize "
+                    "kernel folds the obs table into layer 1)"
+                )
+            from ..training.ppo_pallas import PallasPPOTrainer
+
+            trainer = PallasPPOTrainer(agent, vec, cheat=args.cheat)
         else:
             from ..training.ppo_mxu import MXUPPOTrainer
 

@@ -127,11 +127,13 @@ def prepare_parser() -> argparse.ArgumentParser:
     run.add_argument("--fused-kernel", action="store_true",
                      help="with --mxu on a deterministic-reset env: "
                           "tabular-q runs the whole act→step→learn loop "
-                          "inside one pallas kernel (ops/tabular_kernel.py) "
-                          "and deep-q runs its collect phase in one kernel "
+                          "inside one pallas kernel (ops/tabular_kernel.py); "
+                          "deep-q runs its collect phase in one kernel "
                           "(ops/dqn_kernel.py) with the XLA update phase "
-                          "unchanged; own bulk-draw RNG protocol, single "
-                          "device")
+                          "unchanged; ppo-mlp --table-net runs its whole "
+                          "epochs×minibatches optimize phase in one kernel "
+                          "(ops/ppo_kernel.py). Own bulk-draw RNG protocol "
+                          "where applicable, single device")
     run.add_argument("--mxu-parity", action="store_true",
                      help="with --mxu + a ppo agent: run the base trainer's "
                           "exact optimize instead of the fast layout — "

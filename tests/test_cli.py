@@ -385,8 +385,31 @@ def test_cli_fused_kernel_tabular_end_to_end(tmp_path):
     assert os.path.exists(tmp_path / "logs" / "metrics.jsonl")
 
 
+def test_cli_fused_kernel_ppo_end_to_end(tmp_path):
+    """--fused-kernel ppo-mlp --table-net: the whole optimize phase runs in
+    one pallas kernel through the full driver — same config and outcome
+    gate as test_cli_mxu_ppo_end_to_end (corners: observed reaches the
+    hacked optimum while hidden reveals the hack)."""
+    stats = run(
+        [
+            "corners", "ppo-mlp", "--compiled", "--mxu", "--table-net",
+            "--fused-kernel",
+            "--n-envs", "32", "--steps", "40000", "--chunk-steps", "16",
+            "--eval-every", "20", "--eval-steps", "25",
+            "--lr", "0.001", "--entropy-bonus", "0.05",
+            "--log-dir", str(tmp_path / "logs"),
+        ]
+    )
+    assert stats["mean_return"] >= 60.0, stats
+    assert stats["mean_hidden"] <= -10.0, stats
+    assert os.path.exists(tmp_path / "logs" / "metrics.jsonl")
+
+
 def test_cli_fused_kernel_rejections():
-    with pytest.raises(SystemExit, match="tabular-q and deep-q"):
+    with pytest.raises(SystemExit, match="tabular-q, deep-q"):
+        run(["corners", "ppo-crmdp", "--compiled", "--mxu", "--fused-kernel",
+             "--n-envs", "8", "--steps", "64"])
+    with pytest.raises(SystemExit, match="table-net"):
         run(["island", "ppo-mlp", "--compiled", "--mxu", "--fused-kernel",
              "--n-envs", "8", "--steps", "64"])
     with pytest.raises(SystemExit, match="single-device"):

@@ -82,3 +82,35 @@ def test_tune_asha_cli(tmp_path):
     assert "resumed from chunk" in out.stdout  # promotion resumed, not re-ran
     winner = lines[-1]
     assert "winner" in winner and "lr" in winner
+
+
+def test_tune_final_gate_cli(tmp_path):
+    # --final-gate K (round 5, VERDICT r4 #8): the last rung's top-K resume
+    # to a budget BEYOND the last rung and the winner is picked by THAT
+    # eval — rung returns favor pre-collapse peaks (the shift ppo-cnn sweep
+    # promoted a config that collapses after its rung horizon; RESULTS.md).
+    out = subprocess.run(
+        [
+            sys.executable, "tools/tune.py",
+            "shift", "tabular-q",
+            "--samples", "3", "--rungs", "2", "--eta", "2",
+            "--rung-steps", "16384",
+            "--space", "lr=0.05,0.2,0.5",
+            "--final-gate", "2",
+            "--work-dir", str(tmp_path / "tune"),
+            "--n-envs", "64", "--chunk-steps", "64",
+            "--eval-every", "1000", "--eval-steps", "30",
+            "--epsilon-anneal-steps", "8000",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=900,
+        env={**os.environ, "SGA_PLATFORM": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+    finals = [l for l in lines if l.get("rung") == "final"]
+    assert len(finals) == 2, lines                 # top-2 re-scored
+    assert finals[0]["steps"] == 16384 * 4         # one rung past the last
+    winner = lines[-1]
+    assert "winner" in winner
+    best_final = max(finals, key=lambda l: l["mean_return"])
+    assert winner["winner"] == best_final["cfg"]   # gated on the FINAL eval

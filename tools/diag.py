@@ -17,6 +17,11 @@ fence), reported as the median of >=5 calls. Subcommands:
                   construct engine (round-4 VERDICT #4)
   engine-pallas   fused pallas rollout kernel vs the XLA MXU engine
                   (round 4; ops/rollout_kernel.py)
+  ppo-kernel-opt  fused PPO optimize kernel vs the XLA fast optimize,
+                  collect excluded (round 5; ops/ppo_kernel.py)
+  engine-stoch    stochastic rollout kernel vs the XLA MXU engine on
+                  absent/interrupt/whisky/friend (round 5;
+                  ops/stoch_rollout_kernel.py)
 
 Usage: python tools/diag.py <subcommand> [flags]
 """
@@ -652,6 +657,84 @@ def engine_pallas(args):
               n_iter=5, steps_per_call=N * T)
 
 
+def engine_stoch(args):
+    """Stochastic rollout kernel (ops/stoch_rollout_kernel.py) vs the XLA
+    MXU engine on the stochastic aliases it covers (round 5, VERDICT #4):
+    coin resets (absent/interrupt), carried resets (friend family), action
+    noise (whisky). tomato is the pinned exclusion (module doc)."""
+    from safe_grid_agents_tpu.envs import make_env
+    from safe_grid_agents_tpu.envs.compiled import compile_env
+    from safe_grid_agents_tpu.envs.mxu import MXUVecEnv
+    from safe_grid_agents_tpu.ops.stoch_rollout_kernel import (
+        PallasStochRolloutEngine,
+    )
+
+    T = args.t
+    for alias in args.aliases:
+        env = (
+            make_env(alias, compiled=True, cap=15)
+            if alias in ("friend", "foe", "neutral")
+            else compile_env(make_env(alias))
+        )
+        for N in args.lanes:
+            mxu = MXUVecEnv(env, N)
+            st0 = mxu.reset(jax.random.PRNGKey(0))
+            runner = jax.jit(mxu.run_random_reduced, static_argnums=2)
+            bench(lambda s, k: runner(s, k, T)[1]["reward_sum"],
+                  (st0, jax.random.PRNGKey(1)),
+                  f"{alias} xla-mxu N={N}", n_iter=5, steps_per_call=N * T)
+
+            ker = PallasStochRolloutEngine(env, N)
+            ks0 = ker.reset(jax.random.PRNGKey(0))
+            kr = jax.jit(ker.run_random_reduced, static_argnums=2)
+            bench(lambda s, k: kr(s, k, T)[1]["reward_sum"],
+                  (ks0, jax.random.PRNGKey(1)),
+                  f"{alias} kernel  N={N}", n_iter=5, steps_per_call=N * T)
+
+
+def ppo_kernel_opt(args):
+    """Optimize-phase wall: fused pallas kernel (ops/ppo_kernel.py) vs the
+    XLA fast optimize, same flat rollout, same tile-shuffle membership
+    (round 5, VERDICT #2). Collect is excluded — this isolates the
+    ~1.3 ms/update kernel-boundary latency the kernel deletes."""
+    import jax.numpy as jnp
+
+    from safe_grid_agents_tpu.agents.ppo import PPOAgent
+    from safe_grid_agents_tpu.envs import make_env
+    from safe_grid_agents_tpu.envs.compiled import TableState
+    from safe_grid_agents_tpu.envs.mxu import MXUVecEnv
+    from safe_grid_agents_tpu.training.ppo_mxu import MXUPPOTrainer
+    from safe_grid_agents_tpu.training.ppo_pallas import PallasPPOTrainer
+
+    N, T = args.n_envs, args.t
+    env = make_env("island", compiled=True)
+    B = N * T
+    key = jax.random.PRNGKey(3)
+    flat = {
+        "states": TableState(
+            idx=jax.random.randint(key, (B,), 0, env.num_states),
+            t=jnp.zeros((B,), jnp.int32),
+        ),
+        "actions": jax.random.randint(key, (B,), 0, env.n_actions),
+        "old_logp": jnp.full((B,), -1.38),
+        "advantages": jax.random.normal(key, (B,)),
+        "returns": jax.random.normal(key, (B,)),
+    }
+    for cls, label in ((MXUPPOTrainer, "xla fast optimize"),
+                       (PallasPPOTrainer, "fused kernel optimize")):
+        agent = PPOAgent(env, net="table")
+        tr = cls(agent, MXUVecEnv(env, N))
+        astate, _ = tr.init(jax.random.PRNGKey(0))
+        opt = jax.jit(
+            lambda a, k: tr.optimize_fast(
+                a, flat, k, B, entropy_coef=jnp.float32(0.01)
+            )[2]
+        )
+        n_upd = agent.epochs * agent.n_minibatches
+        bench(opt, (astate, jax.random.PRNGKey(1)),
+              f"{label} ({n_upd} updates)", n_iter=6)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -690,6 +773,18 @@ def main(argv=None):
     p.add_argument("--t", type=int, default=16384)
     p.add_argument("--lanes", type=int, nargs="*", default=[4096])
     p.set_defaults(fn=engine_pallas)
+
+    p = sub.add_parser("ppo-kernel-opt")
+    p.add_argument("--n-envs", type=int, default=4096)
+    p.add_argument("--t", type=int, default=64)
+    p.set_defaults(fn=ppo_kernel_opt)
+
+    p = sub.add_parser("engine-stoch")
+    p.add_argument("--t", type=int, default=16384)
+    p.add_argument("--lanes", type=int, nargs="*", default=[4096])
+    p.add_argument("--aliases", type=str, nargs="*",
+                   default=["absent", "interrupt", "whisky", "friend"])
+    p.set_defaults(fn=engine_stoch)
 
     args = ap.parse_args(argv)
     args.fn(args)

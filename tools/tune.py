@@ -66,6 +66,17 @@ def main(argv=None):
     ap.add_argument("--space", action="append", default=[],
                     help="flag=v1,v2,... or flag=log:lo:hi")
     ap.add_argument("--tune-seed", type=int, default=0)
+    ap.add_argument("--final-gate", type=int, default=0, metavar="K",
+                    help="after the rung loop, resume the top-K configs of "
+                         "the LAST rung to --final-steps and pick the "
+                         "winner by THAT eval. Round-5 fix for the rung-"
+                         "gating bias the shift ppo-cnn sweep exposed "
+                         "(RESULTS.md): rung returns favor pre-collapse "
+                         "peaks; the final gate scores at (and past) the "
+                         "real budget horizon.")
+    ap.add_argument("--final-steps", type=int, default=None,
+                    help="budget for the --final-gate runs (default: one "
+                         "eta-rung beyond the last rung)")
     ap.add_argument("--work-dir", type=str, default=None,
                     help="checkpoint root (default: temp dir, cleaned up)")
     args, passthrough = ap.parse_known_args(argv)
@@ -83,6 +94,7 @@ def main(argv=None):
     cleanup = args.work_dir is None
     try:
         alive = list(range(len(configs)))
+        latest = {}  # cfg index → most recent rung score
         for rung in range(args.rungs):
             steps = args.rung_steps * (args.eta ** rung)
             scores = []
@@ -100,6 +112,7 @@ def main(argv=None):
                 if score != score:  # NaN (e.g. zero eval episodes) → worst
                     score = float("-inf")
                 scores.append((score, i))
+                latest[i] = score
                 print(json.dumps({"rung": rung, "steps": steps, "cfg": i,
                                   **configs[i],
                                   **{k: round(v, 3) for k, v in stats.items()}}),
@@ -111,7 +124,40 @@ def main(argv=None):
             if len(alive) == 1 and rung < args.rungs - 1:
                 # Single survivor: finish its budget in the remaining rungs.
                 continue
-        best = alive[0]
+        if args.final_gate:
+            # Final gate: the top-K configs by LATEST score — which
+            # resurrects rung losers (the mispromotion case: a config
+            # killed at a short horizon can win at the real budget) — each
+            # resumed from its own checkpoint to the final budget and
+            # scored by the eval AT that horizon, not a rung peak.
+            pool = sorted(latest.items(), key=lambda kv: (-kv[1], kv[0]))
+            finalists = [i for i, _ in pool[: args.final_gate]]
+            final_steps = args.final_steps or (
+                args.rung_steps * (args.eta ** args.rungs)
+            )
+            fscores = []
+            for i in finalists:
+                extra = []
+                for name, val in configs[i].items():
+                    extra += [f"--{name}", str(val)]
+                stats = run(
+                    [args.env, args.agent, "--steps", str(final_steps),
+                     "--checkpoint-dir", os.path.join(work, f"cfg{i}"),
+                     "--resume"] + passthrough + extra
+                )
+                score = stats.get("mean_return", float("-inf"))
+                if score != score:
+                    score = float("-inf")
+                fscores.append((score, i))
+                print(json.dumps({"rung": "final", "steps": final_steps,
+                                  "cfg": i, **configs[i],
+                                  **{k: round(v, 3)
+                                     for k, v in stats.items()}}),
+                      flush=True)
+            fscores.sort(key=lambda t: (-t[0], t[1]))
+            best = fscores[0][1]
+        else:
+            best = alive[0]
         print(json.dumps({"winner": best, **configs[best]}), flush=True)
         return configs[best]
     finally:
