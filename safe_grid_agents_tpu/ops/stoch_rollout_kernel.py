@@ -60,7 +60,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..envs.compiled import CompiledEnv
-from .rollout_kernel import TB, _interpret, _round_up
+from .rollout_kernel import _interpret, _round_up
+
+# T-block: FOUR double-buffered [tb, NB] draw streams are live (actions,
+# reset bits, stumble bits, stumble actions) — at the deterministic
+# kernel's TB=128 that alone is 16 MB of VMEM (measured OOM by 244 KB at
+# 4096 lanes); 32 keeps the stream footprint at 4 MB.
+TB_S = 32
 
 
 def _kernel(S_pad, A, F, max_steps, mode, r0, r1, has_noise, n_t,
@@ -164,7 +170,7 @@ def _run(static, w, state, actions, bits, stumble, rand_a):
         raise ValueError(
             f"lane count {N} must be a multiple of the lane block {NB}"
         )
-    tb = TB
+    tb = TB_S
     while T % tb:
         tb //= 2
     n_lane, n_t = N // NB, T // tb

@@ -25,14 +25,18 @@ import optax
 from jax.flatten_util import ravel_pytree
 
 from ..agents.ppo import PPOAgent
-from ..envs.mxu import MXUVecEnv
+from ..envs.compiled import TableState
+from ..envs.mxu import MXUState, MXUVecEnv
+from ..ops.dqn_kernel import build_payload, pick_lane_block
+from ..ops.ppo_collect_kernel import TB_P, ppo_collect_run
 from ..ops.ppo_kernel import ppo_optimize_run
 from ..ops.rollout_kernel import _round_up
+from .common import ChunkStats
 from .ppo_mxu import MXUPPOTrainer
 
 
 class PallasPPOTrainer(MXUPPOTrainer):
-    SUB = 512  # minibatch lanes streamed per kernel grid step
+    SUB = 1024  # minibatch lanes streamed per kernel grid step
 
     def __init__(self, agent: PPOAgent, mxu: MXUVecEnv, cheat: bool = False,
                  unroll: int = 4):
@@ -58,6 +62,80 @@ class PallasPPOTrainer(MXUPPOTrainer):
         O2 = np.zeros((self.D_pad, self.S_pad), np.float32)
         O2[: self.D, : self.S] = obs_flat.T
         self._O2 = jnp.asarray(O2)
+        # Fused COLLECT (round 5, ops/ppo_collect_kernel.py): frozen-params
+        # policy tables + inverse-CDF sampling in-kernel. Deterministic-
+        # reset envs only; stochastic envs keep the XLA collect (the
+        # optimize kernel works for both).
+        self._fused_collect = not mxu._stochastic
+        if self._fused_collect:
+            self._env_payload = jnp.asarray(build_payload(mxu), jnp.float32)
+            nb = pick_lane_block(self.S_pad, mxu.n_envs)
+            self._cstatic = (
+                self.S_pad, self.A, mxu.max_steps, mxu.reset_idx, nb
+            )
+            self._all_states = TableState(
+                idx=jnp.arange(self.S, dtype=jnp.int32),
+                t=jnp.zeros((self.S,), jnp.int32),
+            )
+
+    # -- fused collect (overrides the XLA scan; own uniform-draw protocol) --
+    def _collect_payload(self, params):
+        """Env payload + frozen-params policy rows (logp, inverse-CDF
+        thresholds, value) — the whole actor evaluated once per chunk."""
+        logits, value = self.agent.policy_value(params, self._all_states)
+        logp = jax.nn.log_softmax(logits)                   # [S, A]
+        cdf = jnp.cumsum(jax.nn.softmax(logits), -1)[:, :-1]  # [S, A-1]
+        rows = jnp.concatenate(
+            [logp.T, cdf.T, value[None, :]], axis=0
+        )                                                   # [2A, S]
+        pad = jnp.zeros((2 * self.A, self.S_pad), jnp.float32)
+        rows = pad.at[:, : self.S].set(rows)
+        return jnp.concatenate([self._env_payload, rows], axis=0)
+
+    def collect(self, astate, mstate, key, n_steps: int):
+        if not self._fused_collect:
+            return super().collect(astate, mstate, key, n_steps)
+        if n_steps % TB_P:
+            raise ValueError(
+                f"--chunk-steps {n_steps} must be a multiple of {TB_P} for "
+                "--fused-kernel ppo"
+            )
+        n = self.vec.n_envs
+        k_u, k_out = jax.random.split(key)
+        u = jax.random.uniform(k_u, (n_steps, n), jnp.float32)
+        state = (
+            mstate.idx[None, :], mstate.t[None, :],
+            mstate.ep_return[None, :], mstate.ep_hidden[None, :],
+            mstate.ep_len[None, :],
+        )
+        outs = ppo_collect_run(
+            self._cstatic, self._collect_payload(astate.params), state, u
+        )
+        (idx, t, epr, eph, epl, eacc, racc, hacc, lacc,
+         pidx, pt, act, logp, val, rew, hid, done, nidx) = outs
+        traj = {
+            "states": TableState(idx=pidx, t=pt),
+            "actions": act,
+            "old_logp": logp,
+            "values": val,
+            "rewards": hid if self.cheat else rew,
+            "observed": rew,
+            "hidden": hid,
+            "dones": done.astype(bool),
+            "next_idx": nidx,
+        }
+        mstate = MXUState(
+            idx=idx[0], t=t[0], ep_return=epr[0], ep_hidden=eph[0],
+            ep_len=epl[0], key=mstate.key,
+        )
+        stats = ChunkStats(
+            episodes=eacc.sum(),
+            return_sum=racc.sum(),
+            hidden_sum=hacc.sum(),
+            length_sum=lacc.sum(),
+            env_steps=jnp.float32(n_steps * n),
+        )
+        return mstate, k_out, stats, traj
 
     # -- params/opt_state ↔ kernel tensor tuples ---------------------------
     def _to_tensors(self, tree):

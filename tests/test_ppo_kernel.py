@@ -44,6 +44,10 @@ def test_ppo_kernel_matches_xla_fast_optimize(n_envs, chunk):
 
     tr_x, ax, mx = build(MXUPPOTrainer)
     tr_k, ak, mk = build(PallasPPOTrainer)
+    # Isolate the OPTIMIZE kernel: force the XLA collect on both trainers
+    # so identical keys give bitwise-identical trajectories (the fused
+    # collect has its own draw protocol — tested separately below).
+    tr_k._fused_collect = False
     _allclose_tree(ax.params, ak.params, 0, 0, "init params differ")
 
     key = jax.random.PRNGKey(7)
@@ -93,6 +97,61 @@ def test_ppo_kernel_learns_island():
     # Island optimum is 45 (random policy ≈ -50 and usually drowns); a
     # 120k-step run must be clearly positive.
     assert s["mean_return"] > 20.0, s
+
+
+def test_ppo_collect_kernel_matches_host_replay():
+    """Fused collect (ops/ppo_collect_kernel.py): NumPy replay of the
+    inverse-CDF protocol over the same frozen-params policy tables must
+    reproduce trajectories, records, and episode accounting bitwise."""
+    cenv = make_env("island", compiled=True)
+    agent = PPOAgent(cenv, net="table")
+    N, T = 64, 32
+    tr = PallasPPOTrainer(agent, MXUVecEnv(cenv, N))
+    assert tr._fused_collect
+    astate, mstate = tr.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(9)
+    mstate2, _, stats, traj = tr.collect(astate, mstate, key, T)
+
+    k_u, _ = jax.random.split(key)
+    u = np.asarray(jax.random.uniform(k_u, (T, N)))
+    logits, value = agent.policy_value(astate.params, tr._all_states)
+    logp_t = np.asarray(jax.nn.log_softmax(logits))
+    cdf_t = np.asarray(jnp.cumsum(jax.nn.softmax(logits), -1))[:, :-1]
+    val_t = np.asarray(value)
+    nxt_t = np.asarray(cenv.next_table)
+    rew_t = np.asarray(cenv.reward_table)
+    done_t = np.asarray(cenv.done_table)
+
+    idx = np.full((N,), tr.vec.reset_idx, np.int64)
+    t = np.zeros((N,), np.int64)
+    episodes = 0.0
+    for s in range(T):
+        a = (u[s][:, None] >= cdf_t[idx]).sum(-1)
+        np.testing.assert_array_equal(
+            np.asarray(traj["actions"])[s], a, err_msg=f"step {s}: action"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(traj["old_logp"])[s], logp_t[idx, a],
+            err_msg=f"step {s}: logp",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(traj["values"])[s], val_t[idx], err_msg="value"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(traj["states"].idx)[s], idx
+        )
+        nx = nxt_t[idx, a]
+        done = done_t[idx, a] | (t + 1 >= cenv.max_steps)
+        np.testing.assert_array_equal(
+            np.asarray(traj["rewards"])[s], rew_t[idx, a]
+        )
+        np.testing.assert_array_equal(np.asarray(traj["dones"])[s], done)
+        np.testing.assert_array_equal(np.asarray(traj["next_idx"])[s], nx)
+        episodes += done.sum()
+        idx = np.where(done, tr.vec.reset_idx, nx)
+        t = np.where(done, 0, t + 1)
+    np.testing.assert_array_equal(np.asarray(mstate2.idx), idx)
+    assert float(stats.episodes) == episodes
 
 
 def test_ppo_kernel_requires_table_net():
