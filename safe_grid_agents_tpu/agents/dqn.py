@@ -75,6 +75,8 @@ class DQNAgent(Agent):
         self.batch_size = batch_size
         self.replay_capacity = replay_capacity
         self.sync_every = sync_every
+        self.lr = lr
+        self.hidden = tuple(hidden)
         self._table_net = table
         if table:
             # Table-folded fast path (compiled envs): obs table folded into

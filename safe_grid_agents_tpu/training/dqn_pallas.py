@@ -38,6 +38,7 @@ from ..envs.mxu import MXUState, MXUVecEnv
 from ..ops.dqn_kernel import (
     TB_REC, build_payload, dqn_collect_run, pick_lane_block,
 )
+from ..ops.dqn_update_kernel import dqn_update_run
 from ..ops.rollout_kernel import _round_up
 from .common import ChunkStats
 from .dqn import push_traj_windows
@@ -93,6 +94,136 @@ class PallasDQNTrainer(MXUDQNTrainer):
             idx=jnp.arange(self.S, dtype=jnp.int32),
             t=jnp.zeros((self.S,), jnp.int32),
         )
+        # Fused UPDATE eligibility (round 5, ops/dqn_update_kernel.py):
+        # uniform replay only (PER's priorities mutate between updates —
+        # genuinely sequential; pinned to the XLA path), two hidden layers.
+        self._fused_update = (
+            not agent.prioritized and len(agent.hidden) == 2
+            and agent.env.n_actions <= 8
+        )
+        if self._fused_update:
+            obs_flat = np.asarray(
+                agent.env.obs_table, np.float32
+            ).reshape(self.S, -1)
+            self.D = obs_flat.shape[1]
+            self.D_pad = _round_up(self.D, 128)
+            self.A_pad = 8
+            self.H1, self.H2 = agent.hidden
+            O2 = np.zeros((self.D_pad, self.S_pad), np.float32)
+            O2[: self.D, : self.S] = obs_flat.T
+            self._O2 = jnp.asarray(O2)
+
+    # -- fused update (ops/dqn_update_kernel.py) ---------------------------
+    SUB_U = 512
+
+    def _qparams_to_tensors(self, tree):
+        """Params pytree → the kernel's 6-tensor tuple. Layer names differ
+        between the table net (w1/b1 + Dense_0 + Dense_1) and the plain
+        QMLP (Dense_0/1/2); both fold to the same shapes."""
+        p = tree["params"]
+        if self.agent._table_net:
+            w1, b1v = p["w1"], p["b1"]
+            W2, b2v = p["Dense_0"]["kernel"], p["Dense_0"]["bias"]
+            W3, b3v = p["Dense_1"]["kernel"], p["Dense_1"]["bias"]
+        else:
+            w1, b1v = p["Dense_0"]["kernel"], p["Dense_0"]["bias"]
+            W2, b2v = p["Dense_1"]["kernel"], p["Dense_1"]["bias"]
+            W3, b3v = p["Dense_2"]["kernel"], p["Dense_2"]["bias"]
+        H1, H2, A, A_pad = self.H1, self.H2, self.A, self.A_pad
+        w1T = jnp.zeros((H1, self.D_pad), jnp.float32)
+        w1T = w1T.at[:, : self.D].set(w1.T)
+        H3T = jnp.zeros((A_pad, H2), jnp.float32).at[:A].set(W3.T)
+        b3 = jnp.zeros((A_pad, 1), jnp.float32).at[:A, 0].set(b3v)
+        return (w1T, b1v.reshape(H1, 1), W2.T, b2v.reshape(H2, 1), H3T, b3)
+
+    def _tensors_to_qparams(self, t):
+        w1T, b1, W2T, b2, H3T, b3 = t
+        A = self.A
+        w1 = w1T[:, : self.D].T
+        if self.agent._table_net:
+            return {"params": {
+                "w1": w1, "b1": b1[:, 0],
+                "Dense_0": {"kernel": W2T.T, "bias": b2[:, 0]},
+                "Dense_1": {"kernel": H3T[:A].T, "bias": b3[:A, 0]},
+            }}
+        return {"params": {
+            "Dense_0": {"kernel": w1, "bias": b1[:, 0]},
+            "Dense_1": {"kernel": W2T.T, "bias": b2[:, 0]},
+            "Dense_2": {"kernel": H3T[:A].T, "bias": b3[:A, 0]},
+        }}
+
+    def _update_scan(self, astate, key, n_updates: int,
+                     axis_name: str | None = None):
+        if axis_name is not None or not self._fused_update:
+            return super()._update_scan(
+                astate, key, n_updates, axis_name=axis_name
+            )
+        from jax.flatten_util import ravel_pytree
+
+        agent = self.agent
+        B = agent.batch_size
+        sub = min(self.SUB_U, B)
+        # Adaptive sub-block: ~3 [S_pad, sub] f32 one-hot operands live per
+        # step (state + next + matmul residency) — keep them ≤ ~2.5 MB so
+        # the kernel's total (params ×4 sets, folds, O2, temporaries) stays
+        # inside the 16 MB scoped-VMEM limit (sokoban at sub=512 measured
+        # OOM by 4.2 MB).
+        while sub > 128 and 3 * self.S_pad * sub * 4 > 2_500_000:
+            sub //= 2
+        while B % sub:
+            sub //= 2
+        n_sub = B // sub
+        G = n_updates * n_sub
+        G8 = -(-G // 8) * 8
+        # Own sample protocol (module doc): ONE randint over the post-push
+        # ring (constant across the chunk's updates for uniform replay).
+        idxs = jax.random.randint(
+            key, (n_updates, B), 0, astate.buffer.size
+        )
+        batch = jax.tree.map(lambda s: s[idxs], astate.buffer.storage)
+
+        def sh(x, dtype):
+            x = x.reshape(G, sub).astype(dtype)
+            if G8 != G:
+                x = jnp.pad(x, ((0, G8 - G), (0, 0)))
+            return x
+
+        streams = (
+            sh(batch.state.idx, jnp.int32),
+            sh(batch.next_state.idx, jnp.int32),
+            sh(batch.action, jnp.int32),
+            sh(batch.reward, jnp.float32),
+            sh(batch.done, jnp.int32),
+        )
+        adam = astate.opt_state[0]
+        static = (
+            self.S_pad, self.D_pad, self.A, self.A_pad, self.H1, self.H2,
+            n_sub, n_updates, float(B), sub,
+            float(agent.lr), float(agent.discount ** agent.n_step),
+            int(agent.sync_every), bool(agent.double_q), 0.9, 0.999, 1e-8,
+        )
+        t_out, tt_out, mu_out, nu_out, count, nupd, loss = dqn_update_run(
+            static,
+            self._qparams_to_tensors(astate.params),
+            self._qparams_to_tensors(astate.target_params),
+            self._qparams_to_tensors(self._unravel(adam.mu)),
+            self._qparams_to_tensors(self._unravel(adam.nu)),
+            adam.count.astype(jnp.int32).reshape(1, 1),
+            astate.updates.astype(jnp.int32).reshape(1, 1),
+            self._O2, streams,
+        )
+        new_adam = adam._replace(
+            count=count.reshape(()),
+            mu=ravel_pytree(self._tensors_to_qparams(mu_out))[0],
+            nu=ravel_pytree(self._tensors_to_qparams(nu_out))[0],
+        )
+        astate = astate.replace(
+            params=self._tensors_to_qparams(t_out),
+            target_params=self._tensors_to_qparams(tt_out),
+            opt_state=(new_adam,) + tuple(astate.opt_state[1:]),
+            updates=nupd.reshape(()),
+        )
+        return astate, loss.reshape(())
 
     def _payload(self, params):
         """Static payload + the frozen-params greedy row (first-max argmax
