@@ -199,7 +199,7 @@ class PallasRolloutEngine:
     compiled envs only; same payload, same action-draw protocol)."""
 
     def __init__(self, cenv: CompiledEnv, n_envs: int,
-                 lane_block: int = 4096):
+                 lane_block: int | None = None):
         from ..envs.mxu import MXUVecEnv
 
         base = MXUVecEnv(cenv, n_envs)  # reuses reset probing + payload build
@@ -212,19 +212,32 @@ class PallasRolloutEngine:
         self.max_steps = base.max_steps
         self.reset_idx = base.reset_idx
         self.S_pad = _round_up(self.S, 64)
-        # VMEM feasibility (same guard as PallasTabularQTrainer): the step
-        # holds ~2 [S_pad, NB] operands (one-hot + matmul residency) plus
-        # the [A·F, S_pad] payload and double-buffered [TB, NB] actions.
+
+        # VMEM feasibility: the step holds ~2 [S_pad, NB] operands (one-hot
+        # + matmul residency) plus the [A·F, S_pad] payload and the
+        # double-buffered [TB, NB] action stream. With no explicit
+        # lane_block, auto-pick the largest power-of-two that fits (big-S
+        # envs like sokoban need NB < 4096); an explicit lane_block that
+        # doesn't fit still fails loudly.
+        def est(nb):
+            return (
+                2 * self.S_pad * nb * 4
+                + self.A * N_FIELDS * self.S_pad * 4
+                + 2 * TB * nb * 4
+            )
+
+        if lane_block is None:
+            lane_block = min(n_envs, 4096)
+            while lane_block > 128 and (
+                est(lane_block) > 12 * 1024 * 1024
+                or n_envs % lane_block
+            ):
+                lane_block //= 2
         nb = min(n_envs, lane_block)
-        vmem_est = (
-            2 * self.S_pad * nb * 4
-            + self.A * N_FIELDS * self.S_pad * 4
-            + 2 * TB * nb * 4
-        )
-        if vmem_est > 12 * 1024 * 1024:
+        if est(nb) > 12 * 1024 * 1024:
             raise ValueError(
                 f"{cenv.name}: S={self.S} (padded {self.S_pad}) × lane block "
-                f"{nb} needs ~{vmem_est >> 20} MB of VMEM — pass a smaller "
+                f"{nb} needs ~{est(nb) >> 20} MB of VMEM — pass a smaller "
                 "lane_block or use the XLA MXU engine"
             )
         self._lane_block = lane_block
@@ -287,7 +300,7 @@ class ShardedPallasRolloutEngine:
     """
 
     def __init__(self, cenv: CompiledEnv, n_envs: int, mesh,
-                 lane_block: int = 4096):
+                 lane_block: int | None = None):
         from ..parallel.mesh import DATA_AXIS
 
         self.mesh = mesh
