@@ -62,3 +62,19 @@ _, es = jax.jit(trainer.eval_chunk, static_argnums=3)(
     astate, jax.jit(vec2.reset)(jax.random.PRNGKey(7)), key, 30
 )
 print("trained eval:", stats_to_host(es))
+
+# ---------------------------------------------------------------------------
+# 4. Pallas fused kernels (round 5): the headline rollout engine runs the
+#    whole T-step scan in ONE kernel (~4.4 B env-steps/s on a v5e chip);
+#    the fused trainers (--fused-kernel in the CLI) do the same for the
+#    act→step→learn loops. CPU runs the identical kernel in interpret mode.
+# ---------------------------------------------------------------------------
+from safe_grid_agents_tpu.envs.compiled import compile_env
+from safe_grid_agents_tpu.ops.rollout_kernel import PallasRolloutEngine
+
+eng = PallasRolloutEngine(compile_env(make_env("shift")), 1024)
+_, acc = eng.run_random_reduced(eng.reset(), jax.random.PRNGKey(2), 512)
+print(
+    "pallas fused rollout:", int(acc["episodes"]),
+    "episodes from one kernel call",
+)

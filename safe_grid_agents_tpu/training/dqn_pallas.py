@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..agents.dqn import DQNAgent, Transition
+from ..agents.dqn import DQNAgent
 from ..envs.compiled import TableState
 from ..envs.mxu import MXUState, MXUVecEnv
 from ..ops.dqn_kernel import (
