@@ -4,10 +4,14 @@ Counterpart of :class:`~.dqn_mxu.MXUDQNTrainer` with the T-step collect
 loop (ε-greedy act → env step → record) inside ONE kernel
 (`ops/dqn_kernel.py`) — deleting the ~28 ms/chunk per-step kernel-launch
 floor that PERF.md's round-4 decomposition pins as the trainer's roof
-(~37 M steps/s asymptote). The update phase is INHERITED UNCHANGED from
-``MXUDQNTrainer`` (flat-param adam scan, one roll-based ring write, ~3 ms
-device per chunk), so n-step windows, double-Q, PER, and target sync all
-keep their bitwise-pinned semantics.
+(~37 M steps/s asymptote) — and, when eligible, the sampled-update scan
+inside a SECOND kernel (`ops/dqn_update_kernel.py`: params + target +
+Adam VMEM-resident, in-kernel scheduled target sync; allclose vs an XLA
+twin on identical batches). Eligibility for the fused update: uniform
+replay with a 2-hidden-layer net — PER keeps ``MXUDQNTrainer``'s XLA
+update scan (priorities feed back into sampling), and n-step windows /
+double-Q work in both paths. The ring write between the phases stays the
+inherited one-roll push, so replay semantics are unchanged.
 
 In-kernel acting needs no MLP — and no Q values at all: during a collect
 chunk the params are frozen, and a compiled env's Q is a pure function of
