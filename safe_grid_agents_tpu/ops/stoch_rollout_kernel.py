@@ -335,3 +335,72 @@ class PallasStochRolloutEngine:
             "finished_return_sum": facc.sum(),
         }
         return (idx, t, epr, eph, epl), acc
+
+
+class ShardedPallasStochRolloutEngine:
+    """Multi-device stochastic rollout: ``shard_map`` around the kernel
+    over the mesh's ``data`` axis — the stochastic counterpart of
+    ``rollout_kernel.ShardedPallasRolloutEngine``. The kernel is still
+    purely lane-parallel (the draw streams are per-lane too), so sharding
+    is lane partitioning with zero collectives; every stream is drawn
+    GLOBALLY under the single-device protocol and lane-split, making
+    per-lane results bitwise-identical to the single-device engine
+    (tests/test_stoch_rollout_kernel.py sharded leg)."""
+
+    def __init__(self, cenv: CompiledEnv, n_envs: int, mesh,
+                 lane_block: int = 4096):
+        from ..parallel.mesh import DATA_AXIS
+
+        self.mesh = mesh
+        self.axis = DATA_AXIS
+        self.n_dev = mesh.shape[DATA_AXIS]
+        if n_envs % self.n_dev:
+            raise ValueError(
+                f"n_envs {n_envs} must be a multiple of the data-axis size "
+                f"{self.n_dev}"
+            )
+        self.local = PallasStochRolloutEngine(
+            cenv, n_envs // self.n_dev, lane_block
+        )
+        # A second engine at the GLOBAL lane count supplies the reset /
+        # draw protocol (identical payload; only n_envs differs), so the
+        # sharded run consumes exactly the single-device streams.
+        self._wide = PallasStochRolloutEngine(cenv, n_envs, lane_block)
+        self.cenv = cenv
+        self.n_envs = n_envs
+        self.A = self.local.A
+
+    def reset(self, key):
+        return self._wide.reset(key)
+
+    def run_streams(self, state, actions, bits, stumble, rand_a):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        lanes = P(None, self.axis)
+        repl = P(None, None)
+        local_static = self.local._static
+
+        def shard_fn(w, st, a, b, sm, ra):
+            return _run(local_static, w, st, a, b, sm, ra)
+
+        return shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(repl, (lanes,) * 5, lanes, lanes, lanes, lanes),
+            out_specs=(lanes,) * 8,
+            check_vma=False,
+        )(self.local._w, state, actions, bits, stumble, rand_a)
+
+    def draw_streams(self, key, n_steps: int):
+        return self._wide.draw_streams(key, n_steps)
+
+    def run_random_reduced(self, state, key, n_steps: int):
+        outs = self.run_streams(state, *self.draw_streams(key, n_steps))
+        (idx, t, epr, eph, epl, racc, eacc, facc) = outs
+        acc = {
+            "reward_sum": racc.sum(),
+            "episodes": eacc.sum().astype(jnp.int32),
+            "finished_return_sum": facc.sum(),
+        }
+        return (idx, t, epr, eph, epl), acc

@@ -124,6 +124,34 @@ def test_stoch_kernel_stats_consistent_with_mxu_engine(alias):
     assert abs(m_k - m_m) < 5 * sigma, (alias, m_k, m_m, sigma)
 
 
+def test_stoch_kernel_sharded_matches_single_device():
+    """shard_map'd stochastic kernel over 8 lane shards ≡ single-device,
+    bitwise: the streams are drawn globally under the identical protocol
+    and lane-split (same structure as the deterministic sharded engine)."""
+    from safe_grid_agents_tpu.ops.stoch_rollout_kernel import (
+        ShardedPallasStochRolloutEngine,
+    )
+    from safe_grid_agents_tpu.parallel import make_mesh
+
+    cenv = compile_env(make_env("whisky"))
+    N, T = 128, 96
+    mesh = make_mesh(n_data=8, n_model=1)
+    one = PallasStochRolloutEngine(cenv, N)
+    sharded = ShardedPallasStochRolloutEngine(cenv, N, mesh)
+
+    k_reset, k_run = jax.random.split(jax.random.PRNGKey(4))
+    streams = one.draw_streams(k_run, T)
+    outs_one = one.run_streams(one.reset(k_reset), *streams)
+    outs_sh = jax.jit(sharded.run_streams)(sharded.reset(k_reset), *streams)
+    for a, b in zip(outs_one, outs_sh):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    _, acc1 = one.run_random_reduced(one.reset(k_reset), k_run, T)
+    _, acc2 = sharded.run_random_reduced(sharded.reset(k_reset), k_run, T)
+    assert float(acc1["reward_sum"]) == float(acc2["reward_sum"])
+    assert int(acc1["episodes"]) == int(acc2["episodes"])
+
+
 def test_stoch_kernel_rejections():
     with pytest.raises(ValueError, match="deterministic"):
         PallasStochRolloutEngine(compile_env(make_env("shift")), 32)
