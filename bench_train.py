@@ -124,6 +124,20 @@ def main():
             rate = measure(tab_k, 32768)
             report("tabular-q/shift [kernel, T=32768]", rate)
 
+    # Stochastic fused tabular training kernel (round 5): whisky's noise +
+    # the TD loop in one kernel (ops/tabular_stoch_kernel.py).
+    if sel("tabular-q/whisky [kernel, T=8192]"):
+        env = make_env("whisky", compiled=True)
+        tab_s = PallasTabularQTrainer(TabularQAgent(env), MXUVecEnv(env, n))
+        rate = measure(tab_s, 8192)
+        report("tabular-q/whisky [kernel, T=8192]", rate)
+    if sel("tabular-q/whisky [mxu]"):
+        env = make_env("whisky", compiled=True)
+        rate = measure(
+            MXUTabularQTrainer(TabularQAgent(env), MXUVecEnv(env, n)), c
+        )
+        report("tabular-q/whisky [mxu]", rate)
+
     if sel("deep-q/sokoban [compiled]"):
         env = make_env("sokoban", compiled=True)
         rate = measure(

@@ -8,10 +8,15 @@ per chunk instead of the per-step split chain — see the kernel module
 docstring), so trajectories are not bitwise with the MXU trainer; learning
 outcomes are gated identically (shift optimum, tests/test_tabular_kernel.py).
 
-Scope: deterministic-reset compiled envs, N ≤ 4096 lanes (single lane
-block keeps the TD batch spanning all N lanes). Eval rides the XLA MXU
-engine's greedy eval (same Q table). CLI: ``<env> tabular-q --compiled
---mxu --fused-kernel``.
+Scope: N ≤ 4096 lanes (single lane block keeps the TD batch spanning all
+N lanes). Round 5 extends coverage from deterministic-reset envs to the
+stochastic aliases via `ops/tabular_stoch_kernel.py` (coin resets, carried
+resets, whisky noise — the stochastic rollout kernel's mechanics with the
+TD machinery; five presampled draw streams). tomato's drying stays the
+pinned exclusion (stoch_rollout_kernel module doc), and the friend family
+is rejected at the CLI like every index-keyed tabular path there (index
+leak). Eval rides the XLA MXU engine's greedy eval (same Q table).
+CLI: ``<env> tabular-q --compiled --mxu --fused-kernel``.
 """
 from __future__ import annotations
 
@@ -25,6 +30,7 @@ from ..agents.tabular import TabularQAgent, TabularQState
 from ..envs.mxu import MXUVecEnv
 from ..ops.rollout_kernel import N_FIELDS, _round_up
 from ..ops.tabular_kernel import tabq_run
+from ..ops.tabular_stoch_kernel import tabq_stoch_run
 from .common import ChunkStats
 
 
@@ -46,9 +52,10 @@ class PallasTabularQTrainer:
     ``ops/rollout_kernel.py::ShardedPallasRolloutEngine``."""
 
     def __init__(self, agent: TabularQAgent, mxu: MXUVecEnv):
-        assert not mxu._stochastic, (
-            f"{mxu.cenv.name}: the fused kernel covers deterministic-reset "
-            "envs; stochastic envs keep the MXU trainer"
+        assert not mxu._stoch_index, (
+            f"{mxu.cenv.name}: tomato's drying is pinned out of the fused "
+            "kernels (ops/stoch_rollout_kernel.py module doc); use --mxu "
+            "without --fused-kernel"
         )
         # PINNED N ≤ 4096 (round 5, VERDICT r4 weak #7): the TD update is
         # duplicate-averaged over the WHOLE N-lane batch each step; a
@@ -72,16 +79,34 @@ class PallasTabularQTrainer:
         self.S, self.A = mxu.S, mxu.A
         self.S_pad = _round_up(self.S, 64)
         self.A_pad = _round_up(self.A, 8)
-        W = np.asarray(mxu._W, np.float32)           # [S, A*F]
-        W2 = np.zeros((self.A * N_FIELDS, self.S_pad), np.float32)
-        W2[:, : self.S] = W.T
-        self._w2 = jnp.asarray(W2, mxu._dtype)
-        self._static = (
-            self.S_pad, self.A, self.A_pad, mxu.max_steps, mxu.reset_idx,
+        hyper = (
             float(agent.lr), float(agent.discount),
             float(agent.epsilon), float(agent.epsilon_final),
             float(max(agent.epsilon_anneal_steps, 1)),
         )
+        self._stochastic = bool(mxu._stochastic)
+        if self._stochastic:
+            # Stochastic path (round 5): the stoch rollout engine supplies
+            # the payload/mode analysis (hi/lo fields, coin/carried resets,
+            # drunk row) — reuse it verbatim.
+            from ..ops.stoch_rollout_kernel import PallasStochRolloutEngine
+
+            eng = PallasStochRolloutEngine(mxu.cenv, mxu.n_envs)
+            self._eng = eng
+            self._w_stoch = eng._w
+            self._static_stoch = (
+                self.S_pad, self.A, self.A_pad, eng.F, mxu.max_steps,
+                eng._mode, int(eng._r0), int(eng._r1), eng._noise,
+            ) + hyper
+        else:
+            W = np.asarray(mxu._W, np.float32)           # [S, A*F]
+            W2 = np.zeros((self.A * N_FIELDS, self.S_pad), np.float32)
+            W2[:, : self.S] = W.T
+            self._w2 = jnp.asarray(W2, mxu._dtype)
+            self._static = (
+                self.S_pad, self.A, self.A_pad, mxu.max_steps,
+                mxu.reset_idx,
+            ) + hyper
         # Eval rides the XLA MXU trainer's greedy eval; build it ONCE here
         # (building per eval_chunk call rebuilt the payload and re-traced
         # eval at every eval boundary — VERDICT r4 weak #5).
@@ -90,8 +115,10 @@ class PallasTabularQTrainer:
         self._eval_trainer = MXUTabularQTrainer(agent, mxu)
 
     def init(self, key) -> Tuple[TabularQState, tuple]:
-        ka, _ = jax.random.split(key)
+        ka, kv = jax.random.split(key)
         astate = self.agent.init(ka)
+        if self._stochastic:
+            return astate, self._eng.reset(kv)
         n = self.vec.n_envs
         z_i = jnp.zeros((1, n), jnp.int32)
         z_f = jnp.zeros((1, n), jnp.float32)
@@ -107,13 +134,31 @@ class PallasTabularQTrainer:
 
     def train_chunk(self, astate: TabularQState, vstate, key, n_steps: int):
         n = self.vec.n_envs
-        k_a, k_u = jax.random.split(key)
-        rand_a = jax.random.randint(k_a, (n_steps, n), 0, self.A)
-        u = jax.random.uniform(k_u, (n_steps, n), jnp.float32)
-        outs = tabq_run(
-            self._static, self._w2, self._qT(astate.q), vstate,
-            astate.step.reshape(1, 1), rand_a, u,
-        )
+        if self._stochastic:
+            # Five-way bulk draw (tabular_stoch_kernel module doc).
+            ks = jax.random.split(key, 5)
+            rand_a = jax.random.randint(ks[0], (n_steps, n), 0, self.A)
+            u = jax.random.uniform(ks[1], (n_steps, n), jnp.float32)
+            bits = jax.random.bernoulli(
+                ks[2], 0.5, (n_steps, n)
+            ).astype(jnp.int32)
+            stumble = jax.random.bernoulli(
+                ks[3], self._eng._p_noise, (n_steps, n)
+            ).astype(jnp.int32)
+            rand2 = jax.random.randint(ks[4], (n_steps, n), 0, self.A)
+            outs = tabq_stoch_run(
+                self._static_stoch, self._w_stoch, self._qT(astate.q),
+                vstate, astate.step.reshape(1, 1),
+                rand_a, u, bits, stumble, rand2,
+            )
+        else:
+            k_a, k_u = jax.random.split(key)
+            rand_a = jax.random.randint(k_a, (n_steps, n), 0, self.A)
+            u = jax.random.uniform(k_u, (n_steps, n), jnp.float32)
+            outs = tabq_run(
+                self._static, self._w2, self._qT(astate.q), vstate,
+                astate.step.reshape(1, 1), rand_a, u,
+            )
         (qT, idx, t, epr, eph, epl, step,
          eacc, racc, hacc, lacc) = outs
         astate = TabularQState(

@@ -419,6 +419,27 @@ def test_cli_fused_kernel_rejections():
     with pytest.raises(SystemExit, match="requires --compiled --mxu"):
         run(["shift", "tabular-q", "--compiled", "--fused-kernel",
              "--n-envs", "8", "--steps", "64"])
+    # tomato's drying is the pinned fused-kernel exclusion (round 5).
+    with pytest.raises(AssertionError, match="drying"):
+        run(["tomato", "tabular-q", "--compiled", "--mxu", "--fused-kernel",
+             "--n-envs", "8", "--steps", "64"])
+
+
+def test_cli_fused_kernel_tabular_stochastic_env(tmp_path):
+    """Round 5: --fused-kernel tabular-q now covers stochastic aliases
+    (ops/tabular_stoch_kernel.py) — absent runs end-to-end through the
+    driver and reproduces the supervisor split (observed > hidden)."""
+    stats = run(
+        [
+            "absent", "tabular-q", "--compiled", "--mxu", "--fused-kernel",
+            "--n-envs", "64", "--steps", "120000", "--chunk-steps", "128",
+            "--eval-every", "4", "--eval-steps", "60",
+            "--lr", "0.2", "--epsilon-anneal-steps", "40000",
+            "--log-dir", str(tmp_path / "logs"),
+        ]
+    )
+    assert stats["mean_return"] > 40.0, stats
+    assert stats["mean_hidden"] < stats["mean_return"] - 5.0, stats
 
 
 def test_cli_mxu_parity_matches_base_run():

@@ -97,10 +97,117 @@ def test_kernel_tabular_stats_match_engine_replay():
     np.testing.assert_array_equal(np.asarray(vstate2[0])[0], idx)
 
 
-def test_kernel_tabular_rejects_stochastic_env():
+def test_kernel_tabular_rejects_tomato_drying():
     import pytest
 
-    cenv = compile_env(make_env("absent"))
+    cenv = compile_env(make_env("tomato"))
     agent = TabularQAgent(cenv)
-    with pytest.raises(AssertionError, match="deterministic"):
+    with pytest.raises(AssertionError, match="drying"):
         PallasTabularQTrainer(agent, MXUVecEnv(cenv, 16))
+
+
+def test_kernel_tabular_stoch_matches_host_replay():
+    """Stochastic fused tabular (round 5, ops/tabular_stoch_kernel.py):
+    replay the five presampled streams through a NumPy implementation of
+    the protocol — ε-greedy on the chosen action, whisky noise on the
+    effective action, duplicate-averaged TD on the CHOSEN action — and
+    demand matching Q tables, trajectories, and episode accounting."""
+    cenv = compile_env(make_env("whisky"))
+    agent = TabularQAgent(cenv, lr=0.1, epsilon=0.6,
+                          epsilon_anneal_steps=10_000)
+    N, T = 32, 64
+    tr = PallasTabularQTrainer(agent, MXUVecEnv(cenv, N))
+    assert tr._stochastic
+    astate, vstate = tr.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(5)
+    astate2, vstate2, stats = tr.train_chunk(astate, vstate, key, T)
+
+    ks = jax.random.split(key, 5)
+    rand_a = np.asarray(jax.random.randint(ks[0], (T, N), 0, cenv.n_actions))
+    u = np.asarray(jax.random.uniform(ks[1], (T, N)))
+    stumble = np.asarray(
+        jax.random.bernoulli(ks[3], tr._eng._p_noise, (T, N))
+    ).astype(np.int32)
+    rand2 = np.asarray(jax.random.randint(ks[4], (T, N), 0, cenv.n_actions))
+
+    from safe_grid_agents_tpu.envs.compiled import TableState
+
+    states = jax.vmap(cenv.base_state)(
+        TableState(idx=jnp.arange(cenv.num_states, dtype=jnp.int32),
+                   t=jnp.zeros((cenv.num_states,), jnp.int32))
+    )
+    drunk_tab = np.asarray(states.drunk)
+    q = np.zeros((cenv.num_states, cenv.n_actions), np.float32)
+    nxt_t = np.asarray(cenv.next_table)
+    rew_t = np.asarray(cenv.reward_table)
+    done_t = np.asarray(cenv.done_table)
+    reset_idx = int(np.asarray(vstate[0])[0, 0])  # deterministic for whisky
+    idx = np.asarray(vstate[0])[0].astype(np.int64).copy()
+    t = np.zeros((N,), np.int64)
+    step = 0
+    episodes = 0.0
+    for s in range(T):
+        frac = min(max(step / agent.epsilon_anneal_steps, 0.0), 1.0)
+        eps = agent.epsilon + frac * (agent.epsilon_final - agent.epsilon)
+        greedy = q[idx].argmax(-1)
+        a = np.where(u[s] < eps, rand_a[s], greedy)        # chosen
+        eff = np.where(drunk_tab[idx] & (stumble[s] > 0), rand2[s], a)
+        nxt = nxt_t[idx, eff]
+        r = rew_t[idx, eff]
+        done = done_t[idx, eff] | (t + 1 >= cenv.max_steps)
+        boot = np.where(done, 0.0, q[nxt].max(-1))
+        td = r + agent.discount * boot - q[idx, a]          # CHOSEN action
+        td_sum = np.zeros_like(q)
+        cnt = np.zeros_like(q)
+        np.add.at(td_sum, (idx, a), td)
+        np.add.at(cnt, (idx, a), 1.0)
+        q = q + agent.lr * td_sum / np.maximum(cnt, 1.0)
+        episodes += done.sum()
+        idx = np.where(done, reset_idx, nxt)
+        t = np.where(done, 0, t + 1)
+        step += N
+    np.testing.assert_allclose(
+        np.asarray(astate2.q), q.astype(np.float32), atol=1e-4,
+        err_msg="Q tables diverged",
+    )
+    np.testing.assert_array_equal(np.asarray(vstate2[0])[0], idx)
+    assert float(stats.episodes) == episodes
+
+
+def test_kernel_tabular_stoch_learns_whisky():
+    """Outcome gate: whisky's sober-detour optimum is 43; the fused
+    stochastic trainer must clearly approach it."""
+    cenv = compile_env(make_env("whisky"))
+    agent = TabularQAgent(cenv, lr=0.2, epsilon_anneal_steps=30_000)
+    tr = PallasTabularQTrainer(agent, MXUVecEnv(cenv, 64))
+    astate, vstate = tr.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    for _ in range(12):
+        key, k = jax.random.split(key)
+        astate, vstate, stats = tr.train_chunk(astate, vstate, k, 128)
+    _, es = tr.eval_chunk(
+        astate, tr.vec.reset(jax.random.PRNGKey(7)), key, 40
+    )
+    s = stats_to_host(es)
+    assert s["mean_return"] > 38.0, s
+
+
+def test_kernel_tabular_stoch_learns_absent():
+    """absent: the learned policy takes the punished shortcut only when
+    the supervisor is away — observed ≈44 with hidden < observed (the
+    suite's documented split)."""
+    cenv = compile_env(make_env("absent"))
+    agent = TabularQAgent(cenv, lr=0.2, epsilon_anneal_steps=40_000)
+    tr = PallasTabularQTrainer(agent, MXUVecEnv(cenv, 64))
+    assert tr._stochastic and tr._eng._mode == 1
+    astate, vstate = tr.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    for _ in range(16):
+        key, k = jax.random.split(key)
+        astate, vstate, stats = tr.train_chunk(astate, vstate, k, 128)
+    _, es = tr.eval_chunk(
+        astate, tr.vec.reset(jax.random.PRNGKey(7)), key, 60
+    )
+    s = stats_to_host(es)
+    assert s["mean_return"] > 40.0, s
+    assert s["mean_hidden"] < s["mean_return"] - 5.0, s
