@@ -42,6 +42,7 @@ from ..envs.mxu import MXUState, MXUVecEnv
 from ..ops.dqn_kernel import (
     TB_REC, build_payload, dqn_collect_run, pick_lane_block,
 )
+from ..ops.dqn_stoch_kernel import dqn_stoch_collect_run
 from ..ops.dqn_update_kernel import dqn_update_run
 from ..ops.rollout_kernel import _round_up
 from .common import ChunkStats
@@ -55,9 +56,10 @@ class PallasDQNTrainer(MXUDQNTrainer):
 
     def __init__(self, agent: DQNAgent, mxu: MXUVecEnv, cheat: bool = False,
                  updates_per_chunk: int | None = None, unroll: int = 4):
-        assert not mxu._stochastic, (
-            f"{mxu.cenv.name}: the fused collect kernel covers "
-            "deterministic-reset envs; stochastic envs keep the MXU trainer"
+        assert not mxu._stoch_index, (
+            f"{mxu.cenv.name}: tomato's drying is pinned out of the fused "
+            "kernels (ops/stoch_rollout_kernel.py module doc); use --mxu "
+            "without --fused-kernel"
         )
         super().__init__(
             agent, mxu, cheat=cheat, updates_per_chunk=updates_per_chunk,
@@ -71,24 +73,38 @@ class PallasDQNTrainer(MXUDQNTrainer):
                 f"{mxu.cenv.name}: --n-envs {mxu.n_envs} is not a multiple "
                 f"of the kernel lane block {nb}"
             )
-        # hi/lo-split payload (kernel module doc): bf16 when the reward /
-        # hidden columns are bf16-exact (hi/lo/done/greedy always are) —
-        # the dots stay bitwise either way, bf16 just runs ~6× fewer MXU
-        # passes per step than f32 HIGHEST.
-        W = build_payload(mxu)                        # [A*F_K, S_pad] f32
-        if np.array_equal(W.astype(jnp.bfloat16).astype(np.float32), W):
-            self._dtype = jnp.bfloat16
-        else:
-            self._dtype = jnp.float32
-        self._w_static = jnp.asarray(W, self._dtype)
-        base = (
-            self.S_pad, self.A, mxu.max_steps, mxu.reset_idx, nb
-        )
         anneal = float(max(agent.epsilon_anneal_steps, 1))
-        self._static = base + (
-            float(agent.epsilon), float(agent.epsilon_final), anneal,
-            bool(cheat),
-        )
+        eps = (float(agent.epsilon), float(agent.epsilon_final), anneal)
+        self._stochastic = bool(mxu._stochastic)
+        if self._stochastic:
+            # Stochastic collect (round 5, ops/dqn_stoch_kernel.py): the
+            # stoch rollout engine supplies payload/mode analysis; the
+            # greedy row is appended per chunk like the deterministic path.
+            from ..ops.stoch_rollout_kernel import PallasStochRolloutEngine
+
+            seng = PallasStochRolloutEngine(mxu.cenv, mxu.n_envs)
+            self._seng = seng
+            self._w_static = seng._w
+            self._dtype = seng._w.dtype
+            base = (
+                self.S_pad, self.A, seng.F, mxu.max_steps, seng._mode,
+                int(seng._r0), int(seng._r1), seng._noise, nb,
+            )
+        else:
+            # hi/lo-split payload (kernel module doc): bf16 when the
+            # reward/hidden columns are bf16-exact (hi/lo/done/greedy
+            # always are) — the dots stay bitwise either way, bf16 just
+            # runs ~6× fewer MXU passes per step than f32 HIGHEST.
+            W = build_payload(mxu)                    # [A*F_K, S_pad] f32
+            if np.array_equal(
+                W.astype(jnp.bfloat16).astype(np.float32), W
+            ):
+                self._dtype = jnp.bfloat16
+            else:
+                self._dtype = jnp.float32
+            self._w_static = jnp.asarray(W, self._dtype)
+            base = (self.S_pad, self.A, mxu.max_steps, mxu.reset_idx, nb)
+        self._static = base + eps + (bool(cheat),)
         # Warmup = the same kernel with ε pinned to 1.0: u ∈ [0, 1) < 1
         # always, so every action is the presampled uniform draw.
         self._static_warm = base + (1.0, 1.0, anneal, bool(cheat))
@@ -245,19 +261,37 @@ class PallasDQNTrainer(MXUDQNTrainer):
                 "for --fused-kernel deep-q"
             )
         n = self.vec.n_envs
-        k_a, k_u, k_out = jax.random.split(key, 3)
-        rand_a = jax.random.randint(k_a, (n_steps, n), 0, self.A)
-        u = jax.random.uniform(k_u, (n_steps, n), jnp.float32)
         state = (
             mstate.idx[None, :], mstate.t[None, :],
             mstate.ep_return[None, :], mstate.ep_hidden[None, :],
             mstate.ep_len[None, :],
         )
         static = self._static_warm if random_policy else self._static
-        outs = dqn_collect_run(
-            static, self._payload(astate.params), state,
-            astate.step.reshape(1, 1), rand_a, u,
-        )
+        if self._stochastic:
+            # Five-way bulk draw + output key (dqn_stoch_kernel doc).
+            ks = jax.random.split(key, 6)
+            k_out = ks[5]
+            rand_a = jax.random.randint(ks[0], (n_steps, n), 0, self.A)
+            u = jax.random.uniform(ks[1], (n_steps, n), jnp.float32)
+            bits = jax.random.bernoulli(
+                ks[2], 0.5, (n_steps, n)
+            ).astype(jnp.int32)
+            stumble = jax.random.bernoulli(
+                ks[3], self._seng._p_noise, (n_steps, n)
+            ).astype(jnp.int32)
+            rand2 = jax.random.randint(ks[4], (n_steps, n), 0, self.A)
+            outs = dqn_stoch_collect_run(
+                static, self._payload(astate.params), state,
+                astate.step.reshape(1, 1), rand_a, u, bits, stumble, rand2,
+            )
+        else:
+            k_a, k_u, k_out = jax.random.split(key, 3)
+            rand_a = jax.random.randint(k_a, (n_steps, n), 0, self.A)
+            u = jax.random.uniform(k_u, (n_steps, n), jnp.float32)
+            outs = dqn_collect_run(
+                static, self._payload(astate.params), state,
+                astate.step.reshape(1, 1), rand_a, u,
+            )
         (idx, t, epr, eph, epl, step, eacc, racc, hacc, lacc,
          pidx, pt, act, rew, nidx, done) = outs
         astate = astate.replace(step=step.reshape(()))

@@ -158,6 +158,128 @@ def test_dqn_kernel_warmup_is_random_policy():
     assert float(stats.env_steps) == T * N
 
 
+def test_dqn_kernel_rejects_tomato_drying():
+    cenv = compile_env(make_env("tomato"))
+    agent = DQNAgent(cenv, table=True, replay_capacity=512)
+    with pytest.raises(AssertionError, match="drying"):
+        PallasDQNTrainer(agent, MXUVecEnv(cenv, 16))
+
+
+@pytest.mark.parametrize("alias", ["absent", "whisky"])
+def test_dqn_stoch_collect_matches_host_replay(alias):
+    """Stochastic fused collect (round 5, ops/dqn_stoch_kernel.py): NumPy
+    replay of the five-stream protocol — greedy off the frozen Q table,
+    whisky noise on the EFFECTIVE action, the CHOSEN action in the
+    records, coin resets — must reproduce trajectories and ring content."""
+    cenv = compile_env(make_env(alias))
+    N, T = 64, 2 * TB_REC
+    agent = DQNAgent(cenv, table=True, epsilon=0.6,
+                     epsilon_anneal_steps=5_000, replay_capacity=4096)
+    tr = PallasDQNTrainer(agent, MXUVecEnv(cenv, N))
+    assert tr._stochastic
+    astate, mstate = tr.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(9)
+    astate2, mstate2, _, stats = tr._collect(
+        astate, mstate, key, T, random_policy=False
+    )
+
+    ks = jax.random.split(key, 6)
+    rand_a = np.asarray(jax.random.randint(ks[0], (T, N), 0, cenv.n_actions))
+    u = np.asarray(jax.random.uniform(ks[1], (T, N)))
+    bits = np.asarray(
+        jax.random.bernoulli(ks[2], 0.5, (T, N))
+    ).astype(np.int32)
+    stumble = np.asarray(
+        jax.random.bernoulli(ks[3], tr._seng._p_noise, (T, N))
+    ).astype(np.int32)
+    rand2 = np.asarray(jax.random.randint(ks[4], (T, N), 0, cenv.n_actions))
+    q_all = np.asarray(agent.q_values(astate.params, tr._all_states))
+
+    seng = tr._seng
+    if seng._noise:
+        from safe_grid_agents_tpu.envs.compiled import TableState
+
+        states = jax.vmap(cenv.base_state)(
+            TableState(idx=jnp.arange(tr.S, dtype=jnp.int32),
+                       t=jnp.zeros((tr.S,), jnp.int32))
+        )
+        drunk_tab = np.asarray(states.drunk)
+    nxt_t = np.asarray(cenv.next_table)
+    rew_t = np.asarray(cenv.reward_table)
+    done_t = np.asarray(cenv.done_table)
+
+    idx = np.asarray(mstate.idx).astype(np.int64).copy()
+    t = np.asarray(mstate.t).astype(np.int64).copy()
+    buf = astate2.buffer
+    step = 0
+    episodes = 0.0
+    for s in range(T):
+        frac = min(max(step / agent.epsilon_anneal_steps, 0.0), 1.0)
+        eps = agent.epsilon + frac * (agent.epsilon_final - agent.epsilon)
+        greedy = q_all[idx].argmax(-1)
+        a = np.where(u[s] < eps, rand_a[s], greedy)         # chosen
+        if seng._noise:
+            eff = np.where(drunk_tab[idx] & (stumble[s] > 0), rand2[s], a)
+        else:
+            eff = a
+        nx = nxt_t[idx, eff]
+        r = rew_t[idx, eff]
+        done = done_t[idx, eff] | (t + 1 >= cenv.max_steps)
+        sl = slice(s * N, (s + 1) * N)
+        np.testing.assert_array_equal(
+            np.asarray(buf.storage.state.idx)[sl], idx, f"step {s}: pidx"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(buf.storage.action)[sl], a, f"step {s}: action"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(buf.storage.reward)[sl], r.astype(np.float32)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(buf.storage.next_state.idx)[sl], nx
+        )
+        np.testing.assert_array_equal(
+            np.asarray(buf.storage.done)[sl], done
+        )
+        episodes += done.sum()
+        if seng._mode == 1:
+            reset_lane = np.where(bits[s] > 0, seng._r1, seng._r0)
+        else:
+            reset_lane = np.full((N,), seng._r0)
+        idx = np.where(done, reset_lane, nx)
+        t = np.where(done, 0, t + 1)
+        step += N
+    np.testing.assert_array_equal(np.asarray(mstate2.idx), idx)
+    assert float(stats.episodes) == episodes
+
+
+def test_dqn_stoch_kernel_learns_whisky():
+    """Outcome gate: the quick-config deep-q suite row on whisky is
+    ≈36 observed (it drinks); the fused trainer must clearly learn
+    (random ≈ −60)."""
+    cenv = compile_env(make_env("whisky"))
+    agent = DQNAgent(
+        cenv, lr=5e-4, epsilon_anneal_steps=60_000, batch_size=128,
+        replay_capacity=50_000, sync_every=100,
+    )
+    tr = PallasDQNTrainer(agent, MXUVecEnv(cenv, 128), updates_per_chunk=32)
+    astate, mstate = tr.init(jax.random.PRNGKey(0))
+    astate, mstate, _ = jax.jit(tr.warmup_chunk, static_argnums=3)(
+        astate, mstate, jax.random.PRNGKey(2), 2 * TB_REC
+    )
+    chunk = jax.jit(tr.train_chunk, static_argnums=3)
+    echunk = jax.jit(tr.eval_chunk, static_argnums=3)
+    key = jax.random.PRNGKey(1)
+    best = -1e9
+    for i in range(15):
+        key, k = jax.random.split(key)
+        astate, mstate, stats, loss = chunk(astate, mstate, k, 2 * TB_REC)
+        if i >= 8:
+            _, es = echunk(astate, tr.vec.reset(jax.random.PRNGKey(7)), k, 60)
+            best = max(best, stats_to_host(es)["mean_return"])
+    assert best >= 25.0, f"fused stoch DQN whisky best eval {best}"
+
+
 def test_dqn_kernel_learns_sokoban():
     """Same geometry as test_mxu_dqn_trainer_learns_sokoban (61 k steps,
     best-of eval from chunk 8): the fused-collect trainer must reach the

@@ -75,6 +75,7 @@ def test_ppo_kernel_matches_xla_fast_optimize(n_envs, chunk):
         )
 
 
+@pytest.mark.slow
 def test_ppo_kernel_learns_island():
     """Outcome gate through the fused trainer: island mean return must
     clearly improve over the random baseline within a short run."""
