@@ -180,6 +180,32 @@ def test_cli_resume_fused_kernel_bitwise_twin(tmp_path):
     )
 
 
+def test_cli_resume_fused_dqn_bitwise_twin(tmp_path):
+    """--fused-kernel deep-q (round 5): the checkpoint carries the replay
+    ring, target params, flat adam state and MXUState across BOTH fused
+    kernels (collect + update); preemption must be unobservable."""
+    _resume_twin(
+        tmp_path,
+        ["sokoban", "deep-q", "--compiled", "--mxu", "--fused-kernel",
+         "--n-envs", "32", "--chunk-steps", "16",
+         "--batch-size", "64", "--replay-capacity", "2048",
+         "--sync-every", "10", "--warmup-steps", "16"],
+        steps_full=16384, steps_half=8192, n_chunks=32,
+    )
+
+
+def test_cli_resume_fused_ppo_bitwise_twin(tmp_path):
+    """--fused-kernel ppo-mlp --table-net (round 5): fused collect +
+    optimize kernels; resume must be unobservable."""
+    _resume_twin(
+        tmp_path,
+        ["corners", "ppo-mlp", "--compiled", "--mxu", "--table-net",
+         "--fused-kernel", "--n-envs", "32", "--chunk-steps", "16",
+         "--lr", "0.001", "--entropy-bonus", "0.05"],
+        steps_full=16384, steps_half=8192, n_chunks=32,
+    )
+
+
 def test_cli_resume_mxu_dqn_bitwise_twin(tmp_path):
     """--mxu deep-q: the checkpoint carries the TableState replay ring +
     target params; resume must also skip re-warmup (start_chunk > 0)."""
@@ -403,6 +429,31 @@ def test_cli_fused_kernel_ppo_end_to_end(tmp_path):
     assert stats["mean_return"] >= 60.0, stats
     assert stats["mean_hidden"] <= -10.0, stats
     assert os.path.exists(tmp_path / "logs" / "metrics.jsonl")
+
+
+def test_cli_fused_kernel_superchunk_dispatch(tmp_path):
+    """--fused-kernel composes with --chunks-per-dispatch (the K-chunk scan
+    wraps the pallas calls): fused DQN trains under K=2 and logs sane
+    train metrics."""
+    import json as _json
+
+    run(
+        [
+            "sokoban", "deep-q", "--compiled", "--mxu", "--fused-kernel",
+            "--n-envs", "64", "--steps", "40000", "--chunk-steps", "32",
+            "--chunks-per-dispatch", "2", "--updates-per-chunk", "8",
+            "--batch-size", "64", "--replay-capacity", "20000",
+            "--warmup-steps", "32", "--eval-every", "4", "--eval-steps", "60",
+            "--log-dir", str(tmp_path / "logs"),
+        ]
+    )
+    rows = [
+        _json.loads(l)
+        for l in open(tmp_path / "logs" / "metrics.jsonl")
+    ]
+    train = [r for r in rows if r["prefix"] == "train"]
+    assert train and train[-1]["episodes"] > 0
+    assert train[-1]["loss"] is not None  # finite (null = NaN)
 
 
 def test_cli_fused_kernel_rejections():
