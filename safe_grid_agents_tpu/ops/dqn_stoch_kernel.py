@@ -13,10 +13,18 @@ streamed out per T-block. hi/lo-split payload keeps the matmul bf16-exact.
 
 RNG protocol (this trainer's own documented contract): per chunk ONE key
 splits FIVE ways (k_rand, k_u, k_bits, k_stumble, k_rand2) — exploration
-actions, exploration uniforms, reset coins, stumble coins, stumble
-actions — presampled [T, N] and streamed. tomato's drying stays the
-pinned exclusion (stoch_rollout_kernel module doc). Host-replay
-equivalence: tests/test_dqn_kernel.py stochastic legs.
+actions, exploration uniforms, reset coins (or packed per-tomato
+``bernoulli(DRY_PROB)`` dry masks for drying envs — stoch_rollout_kernel
+module doc), stumble coins, stumble actions — presampled [T, N] and
+streamed.
+
+tomato's drying (round-5 closing) keeps the base trainers' replay
+semantics: the greedy action is read at the PRE-dry index the agent
+observed (a 1-row payload dot on the pre-dry one-hot) and the replay
+record stores that pre-dry index as the transition's state, while the
+env payload matmul runs on the DRIED index (elementwise bit-clear —
+stoch_rollout_kernel module doc). Host-replay equivalence:
+tests/test_dqn_kernel.py stochastic legs.
 """
 from __future__ import annotations
 
@@ -32,7 +40,7 @@ from .rollout_kernel import _interpret
 TB_DS = 16  # 6 record + 5 draw streams live per T-block
 
 
-def _kernel(S_pad, A, F, max_steps, mode, r0, r1, has_noise,
+def _kernel(S_pad, A, F, max_steps, mode, r0, r1, has_noise, dry_nbits,
             n_lane, n_t, n_total, eps0, epsf, anneal, use_hidden,
             idx0, t0, epr0, eph0, epl0, step0, w,
             rand_a, u, bits, stumble, rand2,
@@ -66,13 +74,27 @@ def _kernel(S_pad, A, F, max_steps, mode, r0, r1, has_noise,
 
     def step(s, _):
         idx = idx_s[:]
-        ohT = (rows == idx).astype(w_dtype)
+        ds = pl.ds(s, 1)
+        if dry_nbits:
+            # Drying (module doc): greedy row read at the PRE-dry index
+            # (what the agent observed — and what the record stores); the
+            # full payload matmul runs on the DRIED index.
+            ohT_pre = (rows == idx).astype(w_dtype)
+            g_f = jax.lax.dot_general(
+                w[GREEDY : GREEDY + 1, :], ohT_pre, (((1,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32,
+            )
+            greedy = g_f.astype(jnp.int32)
+            dried = idx - (idx & ((1 << dry_nbits) - 1) & bits[ds, :])
+            ohT = (rows == dried).astype(w_dtype)
+        else:
+            ohT = (rows == idx).astype(w_dtype)
         yT = jax.lax.dot_general(
             w[:], ohT, (((1,), (0,)), ((), ())),
             precision=precision, preferred_element_type=jnp.float32,
         )
-        ds = pl.ds(s, 1)
-        greedy = yT[GREEDY : GREEDY + 1, :].astype(jnp.int32)
+        if not dry_nbits:
+            greedy = yT[GREEDY : GREEDY + 1, :].astype(jnp.int32)
         step_t = step0[0, 0] + (j * TB_DS + s) * n_total
         frac = jnp.clip(step_t.astype(jnp.float32) / anneal, 0.0, 1.0)
         eps_t = eps0 + frac * (epsf - eps0)
@@ -156,7 +178,7 @@ def dqn_stoch_collect_run(static, w, state, step0,
                           rand_a, u, bits, stumble, rand2):
     """One fused stochastic collect chunk. ``w`` = [A·F (+drunk) + 1,
     S_pad] payload with the per-chunk greedy row LAST."""
-    (S_pad, A, F, max_steps, mode, r0, r1, has_noise, nb,
+    (S_pad, A, F, max_steps, mode, r0, r1, has_noise, dry_nbits, nb,
      eps0, epsf, anneal, use_hidden) = static
     idx0, t0, epr0, eph0, epl0 = state
     T, N = rand_a.shape
@@ -176,7 +198,7 @@ def dqn_stoch_collect_run(static, w, state, step0,
     outs = pl.pallas_call(
         functools.partial(
             _kernel, S_pad, A, F, max_steps, mode, r0, r1, has_noise,
-            n_lane, n_t, N, eps0, epsf, anneal, use_hidden,
+            dry_nbits, n_lane, n_t, N, eps0, epsf, anneal, use_hidden,
         ),
         grid=(n_lane, n_t),
         in_specs=[

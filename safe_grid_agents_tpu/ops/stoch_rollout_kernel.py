@@ -21,16 +21,18 @@ mechanism the compiled suite has except tomato's drying:
   row (a pure function of the state index), and presampled
   ``bernoulli(STUMBLE_PROB)`` + ``randint`` streams replace the action
   where drunk ∧ stumble — exactly ``WhiskyGold.noisy_action``'s math with
-  this engine's own draw order.
-
-**Pinned exclusion — tomato's drying** (``stochastic_index``): drying
-clears per-tomato bits of the state index with per-(step, lane, tomato)
-coins; expressing it as payload matmuls needs one [S_pad, S_pad]
-permutation-table matmul per tomato per step (the one-hot-carry study's
-losing geometry, PERF.md width table) or in-kernel dynamic bit surgery on
-indices (a per-lane gather, the round-2 Mosaic rejection). tomato/
-tomato-crmdp stay on the XLA MXU engine, which already runs them at the
-fused-scan rate.
+  this engine's own draw order;
+* **index drying** (tomato's ``stochastic_index``, round-5 closing): the
+  round-4 exclusion note priced drying as per-tomato [S_pad, S_pad]
+  permutation matmuls or per-lane gathers — but ``tomato.state_index``
+  ENCODES the watered bits positionally (``idx = cell·2^K + bits``), so
+  clearing tomato k is pure elementwise i32 arithmetic on the index row:
+  ``idx' = idx − (idx & (2^K−1) & dry_mask)``. The per-(step, lane)
+  K-bit dry masks (one ``bernoulli(DRY_PROB)`` per tomato, packed) are
+  presampled into the ``bits`` stream — drying envs have deterministic
+  resets (mode 0), so the reset-coin slot is free — and the whole
+  mechanism costs one VPU and-subtract per step. No permutations, no
+  gathers, no extra matmul.
 
 All index-valued payload fields (next state, carry candidates) are split
 into bf16-exact hi/lo bytes (the `ops/dqn_kernel.py` trick), so every
@@ -40,7 +42,9 @@ rate while staying bitwise vs the host replay.
 RNG protocol (this engine's own documented contract): per chunk ONE key
 splits into (k_act, k_bits, k_stumble, k_rand);
 ``randint(k_act, [T, N], 0, A)`` actions, ``bernoulli(k_bits, 0.5)``
-reset coins, ``bernoulli(k_stumble, p_noise)`` stumbles and
+reset coins — or, for drying envs, ``bernoulli(k_bits, DRY_PROB,
+[T, N, K])`` per-tomato coins packed little-endian into the same i32
+``bits`` stream — ``bernoulli(k_stumble, p_noise)`` stumbles and
 ``randint(k_rand, [T, N], 0, A)`` stumble actions are presampled with
 threefry outside and streamed per T-block; ``reset(key)`` draws the
 initial coins as ``bernoulli(key, 0.5, [N])``. Trajectories are NOT
@@ -69,7 +73,8 @@ from .rollout_kernel import _interpret, _round_up
 TB_S = 32
 
 
-def _kernel(S_pad, A, F, max_steps, mode, r0, r1, has_noise, n_t,
+def _kernel(S_pad, A, F, max_steps, mode, r0, r1, has_noise, dry_nbits,
+            n_t,
             idx0, t0, epr0, eph0, epl0, w, actions, bits, stumble, rand_a,
             idx_o, t_o, epr_o, eph_o, epl_o, racc_o, eacc_o, facc_o,
             idx_s, t_s, epr_s, eph_s, epl_s, racc_s, eacc_s, facc_s):
@@ -96,12 +101,17 @@ def _kernel(S_pad, A, F, max_steps, mode, r0, r1, has_noise, n_t,
 
     def step(s, _):
         idx = idx_s[:]
+        ds = pl.ds(s, 1)
+        if dry_nbits:
+            # tomato's drying: clear presampled watered bits of the index
+            # (module doc) — elementwise i32, BEFORE the table step, same
+            # order as CompiledEnv.step's stochastic_index hook.
+            idx = idx - (idx & ((1 << dry_nbits) - 1) & bits[ds, :])
         ohT = (rows == idx).astype(w_dtype)
         yT = jax.lax.dot_general(
             w[:], ohT, (((1,), (0,)), ((), ())),
             precision=precision, preferred_element_type=jnp.float32,
         )
-        ds = pl.ds(s, 1)
         a = actions[ds, :]
         if has_noise:
             drunk = yT[A * F : A * F + 1, :] > 0.5
@@ -162,7 +172,8 @@ def _kernel(S_pad, A, F, max_steps, mode, r0, r1, has_noise, n_t,
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _run(static, w, state, actions, bits, stumble, rand_a):
-    (S_pad, A, F, max_steps, mode, r0, r1, has_noise, nb_cap) = static
+    (S_pad, A, F, max_steps, mode, r0, r1, has_noise, dry_nbits,
+     nb_cap) = static
     idx0, t0, epr0, eph0, epl0 = state
     T, N = actions.shape
     NB = min(N, nb_cap)
@@ -184,7 +195,8 @@ def _run(static, w, state, actions, bits, stumble, rand_a):
     )
     outs = pl.pallas_call(
         functools.partial(
-            _kernel, S_pad, A, F, max_steps, mode, r0, r1, has_noise, n_t
+            _kernel, S_pad, A, F, max_steps, mode, r0, r1, has_noise,
+            dry_nbits, n_t,
         ),
         grid=(n_lane, n_t),
         in_specs=[
@@ -214,8 +226,8 @@ def _run(static, w, state, actions, bits, stumble, rand_a):
 
 class PallasStochRolloutEngine:
     """Rollout engine over the stochastic kernel. Covers coin-reset envs
-    (absent, interrupt), carried-reset envs (friend/foe/neutral) and
-    whisky's action noise; rejects tomato's drying (module doc) and plain
+    (absent, interrupt), carried-reset envs (friend/foe/neutral),
+    whisky's action noise and tomato's index drying; rejects plain
     deterministic envs (use :class:`~.rollout_kernel.PallasRolloutEngine`).
     """
 
@@ -228,11 +240,23 @@ class PallasStochRolloutEngine:
             raise ValueError(
                 f"{cenv.name}: deterministic env — use PallasRolloutEngine"
             )
+        self._dry_nbits = 0
+        self._p_dry = 0.0
         if base._stoch_index:
-            raise ValueError(
-                f"{cenv.name}: stochastic_index (tomato drying) is pinned "
-                "out of the kernel — use the XLA MXU engine (module doc)"
-            )
+            from ..envs.tomato import DRY_PROB, TomatoWatering
+
+            if not isinstance(cenv.base, TomatoWatering):
+                raise ValueError(
+                    f"{cenv.name}: unknown stochastic_index env for the "
+                    "kernel — only tomato's low-bit drying is supported"
+                )
+            # Drying multiplexes the reset-coin stream (module doc): the
+            # suite's drying envs have deterministic resets and no action
+            # noise, which the MXUVecEnv analysis guarantees here.
+            assert not (base._stoch_reset or base._carried_reset
+                        or base._noisy), cenv.name
+            self._dry_nbits = int(cenv.base.n_tomatoes)
+            self._p_dry = float(DRY_PROB)
         self.cenv = cenv
         self.n_envs = n_envs
         self.S, self.A = base.S, base.A
@@ -291,7 +315,8 @@ class PallasStochRolloutEngine:
         self._w = jnp.asarray(W, dtype)
         self._static = (
             self.S_pad, A, F, self.max_steps, self._mode,
-            int(self._r0), int(self._r1), self._noise, lane_block,
+            int(self._r0), int(self._r1), self._noise, self._dry_nbits,
+            lane_block,
         )
 
     def reset(self, key) -> Tuple[jnp.ndarray, ...]:
@@ -309,12 +334,27 @@ class PallasStochRolloutEngine:
         z_f = jnp.zeros((1, n), jnp.float32)
         return (idx0, z_i, z_f, z_f, z_i)
 
+    def draw_bits(self, k_bits, n_steps: int, n: int):
+        """The ``bits`` stream of the documented protocol: packed
+        per-tomato dry masks for drying envs, reset coins otherwise.
+        Shared with the fused trainers' k_bits slot."""
+        if self._dry_nbits:
+            dry = jax.random.bernoulli(
+                k_bits, self._p_dry, (n_steps, n, self._dry_nbits)
+            )
+            return jnp.sum(
+                dry.astype(jnp.int32) << jnp.arange(self._dry_nbits), -1
+            )
+        return jax.random.bernoulli(
+            k_bits, 0.5, (n_steps, n)
+        ).astype(jnp.int32)
+
     def draw_streams(self, key, n_steps: int):
         """The documented bulk-draw protocol (module doc)."""
         k_act, k_bits, k_stm, k_rand = jax.random.split(key, 4)
         T, n = n_steps, self.n_envs
         actions = jax.random.randint(k_act, (T, n), 0, self.A)
-        bits = jax.random.bernoulli(k_bits, 0.5, (T, n)).astype(jnp.int32)
+        bits = self.draw_bits(k_bits, T, n)
         stumble = jax.random.bernoulli(
             k_stm, self._p_noise, (T, n)
         ).astype(jnp.int32)

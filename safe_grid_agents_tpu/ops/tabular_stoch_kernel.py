@@ -21,12 +21,18 @@ Per step, everything in VMEM like the deterministic kernel:
 
 RNG protocol (this trainer's own documented contract): per chunk ONE key
 splits FIVE ways (k_rand, k_u, k_bits, k_stumble, k_rand2) —
-exploration actions, exploration uniforms, reset coins, stumble coins,
-stumble actions — all presampled [T, N] with threefry outside and
-streamed per T-block (tb=32: five double-buffered streams). tomato's
-drying stays the pinned exclusion (stoch_rollout_kernel module doc).
-Host-replay equivalence + learning gates:
-tests/test_tabular_stoch_kernel.py.
+exploration actions, exploration uniforms, reset coins (or, for drying
+envs, packed per-tomato ``bernoulli(DRY_PROB)`` masks in the same i32
+slot — stoch_rollout_kernel module doc), stumble coins, stumble actions
+— all presampled [T, N] with threefry outside and streamed per T-block
+(tb=32: five double-buffered streams).
+
+tomato's drying (round-5 closing) follows the base trainers' semantics
+exactly: the agent ACTS and LEARNS on the pre-dry index it observed
+(``MXUTabularQTrainer`` records ``state.idx`` before the env's
+``stochastic_index`` hook fires), while the env payload matmul runs on
+the DRIED index — one extra one-hot build per step, still zero gathers.
+Host-replay equivalence + learning gates: tests/test_tabular_kernel.py.
 """
 from __future__ import annotations
 
@@ -43,7 +49,7 @@ TB_TS = 32  # five draw streams live per T-block
 
 
 def _kernel(S_pad, A, A_pad, F, max_steps, mode, r0, r1, has_noise,
-            n_t, n_envs, lr, discount, eps0, epsf, anneal,
+            dry_nbits, n_t, n_envs, lr, discount, eps0, epsf, anneal,
             q0, idx0, t0, epr0, eph0, epl0, step0, w,
             rand_a, u, bits, stumble, rand2,
             q_o, idx_o, t_o, epr_o, eph_o, epl_o, step_o,
@@ -100,8 +106,16 @@ def _kernel(S_pad, A, A_pad, F, max_steps, mode, r0, r1, has_noise,
         action = jnp.where(explore, rand_a[ds, :], greedy)
 
         # -- env step on the EFFECTIVE action ------------------------------
+        if dry_nbits:
+            # Drying (module doc): the env steps on the DRIED index; the
+            # act above and the TD below stay on the observed pre-dry
+            # one-hot, matching the base trainers.
+            dried = idx - (idx & ((1 << dry_nbits) - 1) & bits[ds, :])
+            ohT_e = (rows == dried).astype(w_dtype)
+        else:
+            ohT_e = ohT_b.astype(w_dtype)
         yT = jax.lax.dot_general(
-            w[:], ohT_b.astype(w_dtype), (((1,), (0,)), ((), ())),
+            w[:], ohT_e, (((1,), (0,)), ((), ())),
             precision=precision, preferred_element_type=jnp.float32,
         )
         if has_noise:
@@ -202,7 +216,7 @@ def _kernel(S_pad, A, A_pad, F, max_steps, mode, r0, r1, has_noise,
 @functools.partial(jax.jit, static_argnums=(0,))
 def tabq_stoch_run(static, w, qT, state, step0,
                    rand_a, u, bits, stumble, rand2):
-    (S_pad, A, A_pad, F, max_steps, mode, r0, r1, has_noise,
+    (S_pad, A, A_pad, F, max_steps, mode, r0, r1, has_noise, dry_nbits,
      lr, discount, eps0, epsf, anneal) = static
     idx0, t0, epr0, eph0, epl0 = state
     T, N = rand_a.shape
@@ -223,7 +237,7 @@ def tabq_stoch_run(static, w, qT, state, step0,
     outs = pl.pallas_call(
         functools.partial(
             _kernel, S_pad, A, A_pad, F, max_steps, mode, r0, r1,
-            has_noise, n_t, N, lr, discount, eps0, epsf, anneal,
+            has_noise, dry_nbits, n_t, N, lr, discount, eps0, epsf, anneal,
         ),
         grid=(n_t,),
         in_specs=[

@@ -27,8 +27,11 @@ NOT the MXU trainer's per-step split chain; trajectories are therefore not
 bitwise with ``MXUDQNTrainer``. Gates: host-replay equivalence
 (tests/test_dqn_kernel.py) + the sokoban learning optimum through the CLI.
 
-Scope: deterministic-reset compiled envs (sokoban = BASELINE config 3),
-single device. CLI: ``<env> deep-q --compiled --mxu --fused-kernel``.
+Scope: every compiled alias — deterministic-reset envs (sokoban =
+BASELINE config 3) through `ops/dqn_kernel.py`, stochastic envs
+(absent / interrupt / whisky / friend family / tomato's drying) through
+`ops/dqn_stoch_kernel.py`. Single device.
+CLI: ``<env> deep-q --compiled --mxu --fused-kernel``.
 """
 from __future__ import annotations
 
@@ -56,11 +59,6 @@ class PallasDQNTrainer(MXUDQNTrainer):
 
     def __init__(self, agent: DQNAgent, mxu: MXUVecEnv, cheat: bool = False,
                  updates_per_chunk: int | None = None, unroll: int = 4):
-        assert not mxu._stoch_index, (
-            f"{mxu.cenv.name}: tomato's drying is pinned out of the fused "
-            "kernels (ops/stoch_rollout_kernel.py module doc); use --mxu "
-            "without --fused-kernel"
-        )
         super().__init__(
             agent, mxu, cheat=cheat, updates_per_chunk=updates_per_chunk,
             unroll=unroll,
@@ -88,7 +86,8 @@ class PallasDQNTrainer(MXUDQNTrainer):
             self._dtype = seng._w.dtype
             base = (
                 self.S_pad, self.A, seng.F, mxu.max_steps, seng._mode,
-                int(seng._r0), int(seng._r1), seng._noise, nb,
+                int(seng._r0), int(seng._r1), seng._noise,
+                seng._dry_nbits, nb,
             )
         else:
             # hi/lo-split payload (kernel module doc): bf16 when the
@@ -273,9 +272,7 @@ class PallasDQNTrainer(MXUDQNTrainer):
             k_out = ks[5]
             rand_a = jax.random.randint(ks[0], (n_steps, n), 0, self.A)
             u = jax.random.uniform(ks[1], (n_steps, n), jnp.float32)
-            bits = jax.random.bernoulli(
-                ks[2], 0.5, (n_steps, n)
-            ).astype(jnp.int32)
+            bits = self._seng.draw_bits(ks[2], n_steps, n)
             stumble = jax.random.bernoulli(
                 ks[3], self._seng._p_noise, (n_steps, n)
             ).astype(jnp.int32)

@@ -9,13 +9,13 @@ docstring), so trajectories are not bitwise with the MXU trainer; learning
 outcomes are gated identically (shift optimum, tests/test_tabular_kernel.py).
 
 Scope: N ≤ 4096 lanes (single lane block keeps the TD batch spanning all
-N lanes). Round 5 extends coverage from deterministic-reset envs to the
-stochastic aliases via `ops/tabular_stoch_kernel.py` (coin resets, carried
-resets, whisky noise — the stochastic rollout kernel's mechanics with the
-TD machinery; five presampled draw streams). tomato's drying stays the
-pinned exclusion (stoch_rollout_kernel module doc), and the friend family
-is rejected at the CLI like every index-keyed tabular path there (index
-leak). Eval rides the XLA MXU engine's greedy eval (same Q table).
+N lanes). Round 5 extends coverage from deterministic-reset envs to ALL
+the stochastic aliases via `ops/tabular_stoch_kernel.py` (coin resets,
+carried resets, whisky noise, and — closing the last exclusion —
+tomato's index drying as elementwise bit-clears; five presampled draw
+streams). The friend family is rejected at the CLI like every
+index-keyed tabular path there (index leak). Eval rides the XLA MXU
+engine's greedy eval (same Q table).
 CLI: ``<env> tabular-q --compiled --mxu --fused-kernel``.
 """
 from __future__ import annotations
@@ -52,11 +52,6 @@ class PallasTabularQTrainer:
     ``ops/rollout_kernel.py::ShardedPallasRolloutEngine``."""
 
     def __init__(self, agent: TabularQAgent, mxu: MXUVecEnv):
-        assert not mxu._stoch_index, (
-            f"{mxu.cenv.name}: tomato's drying is pinned out of the fused "
-            "kernels (ops/stoch_rollout_kernel.py module doc); use --mxu "
-            "without --fused-kernel"
-        )
         # PINNED N ≤ 4096 (round 5, VERDICT r4 weak #7): the TD update is
         # duplicate-averaged over the WHOLE N-lane batch each step; a
         # multi-lane-block grid would apply block 0's TD to Q before block
@@ -97,6 +92,7 @@ class PallasTabularQTrainer:
             self._static_stoch = (
                 self.S_pad, self.A, self.A_pad, eng.F, mxu.max_steps,
                 eng._mode, int(eng._r0), int(eng._r1), eng._noise,
+                eng._dry_nbits,
             ) + hyper
         else:
             W = np.asarray(mxu._W, np.float32)           # [S, A*F]
@@ -139,9 +135,7 @@ class PallasTabularQTrainer:
             ks = jax.random.split(key, 5)
             rand_a = jax.random.randint(ks[0], (n_steps, n), 0, self.A)
             u = jax.random.uniform(ks[1], (n_steps, n), jnp.float32)
-            bits = jax.random.bernoulli(
-                ks[2], 0.5, (n_steps, n)
-            ).astype(jnp.int32)
+            bits = self._eng.draw_bits(ks[2], n_steps, n)
             stumble = jax.random.bernoulli(
                 ks[3], self._eng._p_noise, (n_steps, n)
             ).astype(jnp.int32)

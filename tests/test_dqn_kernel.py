@@ -158,20 +158,19 @@ def test_dqn_kernel_warmup_is_random_policy():
     assert float(stats.env_steps) == T * N
 
 
-def test_dqn_kernel_rejects_tomato_drying():
-    cenv = compile_env(make_env("tomato"))
-    agent = DQNAgent(cenv, table=True, replay_capacity=512)
-    with pytest.raises(AssertionError, match="drying"):
-        PallasDQNTrainer(agent, MXUVecEnv(cenv, 16))
-
-
-@pytest.mark.parametrize("alias", ["absent", "whisky"])
+@pytest.mark.parametrize("alias", ["absent", "whisky", "tomato", "neutral"])
 def test_dqn_stoch_collect_matches_host_replay(alias):
     """Stochastic fused collect (round 5, ops/dqn_stoch_kernel.py): NumPy
     replay of the five-stream protocol — greedy off the frozen Q table,
     whisky noise on the EFFECTIVE action, the CHOSEN action in the
-    records, coin resets — must reproduce trajectories and ring content."""
-    cenv = compile_env(make_env(alias))
+    records, coin resets, carried coin resets (friend family), tomato's
+    drying (greedy + records at the PRE-dry index, env at the DRIED
+    index) — must reproduce trajectories and ring content."""
+    cenv = (
+        make_env(alias, compiled=True, cap=15)
+        if alias in ("friend", "foe", "neutral")
+        else compile_env(make_env(alias))
+    )
     N, T = 64, 2 * TB_REC
     agent = DQNAgent(cenv, table=True, epsilon=0.6,
                      epsilon_anneal_steps=5_000, replay_capacity=4096)
@@ -186,9 +185,7 @@ def test_dqn_stoch_collect_matches_host_replay(alias):
     ks = jax.random.split(key, 6)
     rand_a = np.asarray(jax.random.randint(ks[0], (T, N), 0, cenv.n_actions))
     u = np.asarray(jax.random.uniform(ks[1], (T, N)))
-    bits = np.asarray(
-        jax.random.bernoulli(ks[2], 0.5, (T, N))
-    ).astype(np.int32)
+    bits = np.asarray(tr._seng.draw_bits(ks[2], T, N))
     stumble = np.asarray(
         jax.random.bernoulli(ks[3], tr._seng._p_noise, (T, N))
     ).astype(np.int32)
@@ -204,6 +201,8 @@ def test_dqn_stoch_collect_matches_host_replay(alias):
                        t=jnp.zeros((tr.S,), jnp.int32))
         )
         drunk_tab = np.asarray(states.drunk)
+    if seng._mode == 2:
+        carry = np.asarray(MXUVecEnv(cenv, 1)._carry_tab)   # [2, S]
     nxt_t = np.asarray(cenv.next_table)
     rew_t = np.asarray(cenv.reward_table)
     done_t = np.asarray(cenv.done_table)
@@ -216,15 +215,19 @@ def test_dqn_stoch_collect_matches_host_replay(alias):
     for s in range(T):
         frac = min(max(step / agent.epsilon_anneal_steps, 0.0), 1.0)
         eps = agent.epsilon + frac * (agent.epsilon_final - agent.epsilon)
-        greedy = q_all[idx].argmax(-1)
+        greedy = q_all[idx].argmax(-1)                      # PRE-dry
         a = np.where(u[s] < eps, rand_a[s], greedy)         # chosen
         if seng._noise:
             eff = np.where(drunk_tab[idx] & (stumble[s] > 0), rand2[s], a)
         else:
             eff = a
-        nx = nxt_t[idx, eff]
-        r = rew_t[idx, eff]
-        done = done_t[idx, eff] | (t + 1 >= cenv.max_steps)
+        if seng._dry_nbits:
+            env_idx = idx - (idx & (2 ** seng._dry_nbits - 1) & bits[s])
+        else:
+            env_idx = idx
+        nx = nxt_t[env_idx, eff]
+        r = rew_t[env_idx, eff]
+        done = done_t[env_idx, eff] | (t + 1 >= cenv.max_steps)
         sl = slice(s * N, (s + 1) * N)
         np.testing.assert_array_equal(
             np.asarray(buf.storage.state.idx)[sl], idx, f"step {s}: pidx"
@@ -244,6 +247,8 @@ def test_dqn_stoch_collect_matches_host_replay(alias):
         episodes += done.sum()
         if seng._mode == 1:
             reset_lane = np.where(bits[s] > 0, seng._r1, seng._r0)
+        elif seng._mode == 2:
+            reset_lane = carry[bits[s], nx]
         else:
             reset_lane = np.full((N,), seng._r0)
         idx = np.where(done, reset_lane, nx)

@@ -6,11 +6,11 @@ bulk-draw protocol, so bitwise-vs-VecEnv is not the contract):
 1. host-replay equivalence: a NumPy replay of the exact protocol over the
    compiled tables must reproduce the kernel's trajectories, final states
    and chunk accumulators for every covered mechanism (coin reset, carried
-   coin reset, action noise);
+   coin reset, action noise, tomato's index drying);
 2. episode-statistics consistency vs the parity-tested XLA MXU engine at
    5σ (same distributions, different draw order);
-3. loud rejections for the pinned exclusions (tomato drying,
-   deterministic envs).
+3. loud rejection for deterministic envs (which belong on the
+   deterministic kernel).
 """
 import jax
 import jax.numpy as jnp
@@ -50,6 +50,10 @@ def _host_replay(eng, cenv, idx0, actions, bits, stumble, rand_a):
     epr = np.zeros((N,), np.float64)
     reward_sum = episodes = fin_ret = 0.0
     for s in range(T):
+        if eng._dry_nbits:
+            # tomato's drying: clear the streamed per-tomato mask bits of
+            # the index before the table step (kernel module doc).
+            idx = idx - (idx & (2 ** eng._dry_nbits - 1) & bits[s])
         a = actions[s].copy()
         if eng._noise:
             a = np.where(drunk_tab[idx] & (stumble[s] > 0), rand_a[s], a)
@@ -73,7 +77,8 @@ def _host_replay(eng, cenv, idx0, actions, bits, stumble, rand_a):
 
 
 @pytest.mark.parametrize("alias", ["absent", "interrupt", "whisky",
-                                   "friend", "neutral"])
+                                   "friend", "neutral", "tomato",
+                                   "tomato-crmdp"])
 def test_stoch_kernel_matches_host_replay(alias):
     cenv = make_env(alias, compiled=True, cap=15) if alias in (
         "friend", "foe", "neutral") else compile_env(make_env(alias))
@@ -98,7 +103,7 @@ def test_stoch_kernel_matches_host_replay(alias):
     assert float(facc.sum()) == fr, f"{alias}: finished returns"
 
 
-@pytest.mark.parametrize("alias", ["absent", "whisky", "friend"])
+@pytest.mark.parametrize("alias", ["absent", "whisky", "friend", "tomato"])
 def test_stoch_kernel_stats_consistent_with_mxu_engine(alias):
     """Different draw order, same distributions: mean finished return per
     episode over a long random rollout must agree with the parity-tested
@@ -124,16 +129,18 @@ def test_stoch_kernel_stats_consistent_with_mxu_engine(alias):
     assert abs(m_k - m_m) < 5 * sigma, (alias, m_k, m_m, sigma)
 
 
-def test_stoch_kernel_sharded_matches_single_device():
+@pytest.mark.parametrize("alias", ["whisky", "tomato"])
+def test_stoch_kernel_sharded_matches_single_device(alias):
     """shard_map'd stochastic kernel over 8 lane shards ≡ single-device,
     bitwise: the streams are drawn globally under the identical protocol
-    and lane-split (same structure as the deterministic sharded engine)."""
+    and lane-split (same structure as the deterministic sharded engine).
+    tomato pins the drying masks through the lane split too."""
     from safe_grid_agents_tpu.ops.stoch_rollout_kernel import (
         ShardedPallasStochRolloutEngine,
     )
     from safe_grid_agents_tpu.parallel import make_mesh
 
-    cenv = compile_env(make_env("whisky"))
+    cenv = compile_env(make_env(alias))
     N, T = 128, 96
     mesh = make_mesh(n_data=8, n_model=1)
     one = PallasStochRolloutEngine(cenv, N)
@@ -155,5 +162,3 @@ def test_stoch_kernel_sharded_matches_single_device():
 def test_stoch_kernel_rejections():
     with pytest.raises(ValueError, match="deterministic"):
         PallasStochRolloutEngine(compile_env(make_env("shift")), 32)
-    with pytest.raises(ValueError, match="drying"):
-        PallasStochRolloutEngine(compile_env(make_env("tomato")), 32)

@@ -97,13 +97,83 @@ def test_kernel_tabular_stats_match_engine_replay():
     np.testing.assert_array_equal(np.asarray(vstate2[0])[0], idx)
 
 
-def test_kernel_tabular_rejects_tomato_drying():
-    import pytest
-
+def test_kernel_tabular_stoch_matches_host_replay_tomato():
+    """tomato's drying through the fused trainer (round-5 closing): the
+    kernel acts and TD-learns on the PRE-dry index the agent observed
+    while the env payload steps the DRIED index (elementwise bit-clear of
+    the streamed masks) — replay that exact protocol in NumPy and demand
+    matching Q tables, trajectories, and episode counts."""
     cenv = compile_env(make_env("tomato"))
-    agent = TabularQAgent(cenv)
-    with pytest.raises(AssertionError, match="drying"):
-        PallasTabularQTrainer(agent, MXUVecEnv(cenv, 16))
+    agent = TabularQAgent(cenv, lr=0.1, epsilon=0.6,
+                          epsilon_anneal_steps=10_000)
+    N, T = 32, 64
+    tr = PallasTabularQTrainer(agent, MXUVecEnv(cenv, N))
+    assert tr._stochastic and tr._eng._dry_nbits == cenv.base.n_tomatoes
+    astate, vstate = tr.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(5)
+    astate2, vstate2, stats = tr.train_chunk(astate, vstate, key, T)
+
+    ks = jax.random.split(key, 5)
+    rand_a = np.asarray(jax.random.randint(ks[0], (T, N), 0, cenv.n_actions))
+    u = np.asarray(jax.random.uniform(ks[1], (T, N)))
+    bits = np.asarray(tr._eng.draw_bits(ks[2], T, N))
+    nb_mask = 2 ** tr._eng._dry_nbits - 1
+
+    q = np.zeros((cenv.num_states, cenv.n_actions), np.float32)
+    nxt_t = np.asarray(cenv.next_table)
+    rew_t = np.asarray(cenv.reward_table)
+    done_t = np.asarray(cenv.done_table)
+    reset_idx = int(np.asarray(vstate[0])[0, 0])
+    idx = np.asarray(vstate[0])[0].astype(np.int64).copy()
+    t = np.zeros((N,), np.int64)
+    step = 0
+    episodes = 0.0
+    for s in range(T):
+        frac = min(max(step / agent.epsilon_anneal_steps, 0.0), 1.0)
+        eps = agent.epsilon + frac * (agent.epsilon_final - agent.epsilon)
+        greedy = q[idx].argmax(-1)                 # PRE-dry (observed)
+        a = np.where(u[s] < eps, rand_a[s], greedy)
+        dried = idx - (idx & nb_mask & bits[s])    # env steps the dried idx
+        nxt = nxt_t[dried, a]
+        r = rew_t[dried, a]
+        done = done_t[dried, a] | (t + 1 >= cenv.max_steps)
+        boot = np.where(done, 0.0, q[nxt].max(-1))
+        td = r + agent.discount * boot - q[idx, a]  # TD on the PRE-dry idx
+        td_sum = np.zeros_like(q)
+        cnt = np.zeros_like(q)
+        np.add.at(td_sum, (idx, a), td)
+        np.add.at(cnt, (idx, a), 1.0)
+        q = q + agent.lr * td_sum / np.maximum(cnt, 1.0)
+        episodes += done.sum()
+        idx = np.where(done, reset_idx, nxt)
+        t = np.where(done, 0, t + 1)
+        step += N
+    np.testing.assert_allclose(
+        np.asarray(astate2.q), q.astype(np.float32), atol=1e-4,
+        err_msg="Q tables diverged",
+    )
+    np.testing.assert_array_equal(np.asarray(vstate2[0])[0], idx)
+    assert float(stats.episodes) == episodes
+
+
+def test_kernel_tabular_stoch_learns_tomato():
+    """Outcome gate: tabular-q on tomato finds the observation-corrupting
+    bucket (RESULTS.md: ~177 observed / ~25 hidden) — the fused trainer
+    must reproduce the hack's signature split."""
+    cenv = compile_env(make_env("tomato"))
+    agent = TabularQAgent(cenv, lr=0.2, epsilon_anneal_steps=40_000)
+    tr = PallasTabularQTrainer(agent, MXUVecEnv(cenv, 64))
+    astate, vstate = tr.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    for _ in range(16):
+        key, k = jax.random.split(key)
+        astate, vstate, stats = tr.train_chunk(astate, vstate, k, 128)
+    _, es = tr.eval_chunk(
+        astate, tr.vec.reset(jax.random.PRNGKey(7)), key, 120
+    )
+    s = stats_to_host(es)
+    assert s["mean_return"] > 100.0, s
+    assert s["mean_hidden"] < s["mean_return"] - 50.0, s
 
 
 def test_kernel_tabular_stoch_matches_host_replay():

@@ -661,7 +661,7 @@ def engine_stoch(args):
     """Stochastic rollout kernel (ops/stoch_rollout_kernel.py) vs the XLA
     MXU engine on the stochastic aliases it covers (round 5, VERDICT #4):
     coin resets (absent/interrupt), carried resets (friend family), action
-    noise (whisky). tomato is the pinned exclusion (module doc)."""
+    noise (whisky), index drying (tomato — round-5 closing)."""
     from safe_grid_agents_tpu.envs import make_env
     from safe_grid_agents_tpu.envs.compiled import compile_env
     from safe_grid_agents_tpu.envs.mxu import MXUVecEnv
@@ -783,7 +783,8 @@ def main(argv=None):
     p.add_argument("--t", type=int, default=16384)
     p.add_argument("--lanes", type=int, nargs="*", default=[4096])
     p.add_argument("--aliases", type=str, nargs="*",
-                   default=["absent", "interrupt", "whisky", "friend"])
+                   default=["absent", "interrupt", "whisky", "friend",
+                            "tomato"])
     p.set_defaults(fn=engine_stoch)
 
     args = ap.parse_args(argv)
