@@ -138,6 +138,25 @@ def main():
         )
         report("tabular-q/whisky [mxu]", rate)
 
+    # Round-5 closing: tomato's drying in-kernel (index bit-clears,
+    # ops/stoch_rollout_kernel.py module doc) — the last fused exclusion.
+    # tomato's S_pad=1344 caps the single-lane-block tabular kernel at
+    # N=512 (3·S_pad·N·4 ≤ 12 MB VMEM guard), so both trainers run at 512
+    # lanes for the like-for-like ratio.
+    if sel("tabular-q/tomato [kernel, N=512, T=8192]"):
+        env = make_env("tomato", compiled=True)
+        tab_t = PallasTabularQTrainer(
+            TabularQAgent(env), MXUVecEnv(env, 512)
+        )
+        rate = measure(tab_t, 8192)
+        report("tabular-q/tomato [kernel, N=512, T=8192]", rate)
+    if sel("tabular-q/tomato [mxu, N=512]"):
+        env = make_env("tomato", compiled=True)
+        rate = measure(
+            MXUTabularQTrainer(TabularQAgent(env), MXUVecEnv(env, 512)), c
+        )
+        report("tabular-q/tomato [mxu, N=512]", rate)
+
     if sel("deep-q/sokoban [compiled]"):
         env = make_env("sokoban", compiled=True)
         rate = measure(
@@ -247,6 +266,24 @@ def main():
         if sel("ppo-table/island [mxu, K=16]"):
             rate = measure_superchunk(trainer, min(c, 64), k_chunks=16)
             report("ppo-table/island [mxu, K=16]", rate)
+
+    # Round-5 closing: stochastic aliases through BOTH fused PPO kernels
+    # (ops/ppo_stoch_collect_kernel.py collect + ops/ppo_kernel.py
+    # optimize) vs the XLA fast path.
+    if sel("ppo-table/absent [kernel, K=16]"):
+        env = make_env("absent", compiled=True)
+        ppo_s = PallasPPOTrainer(
+            PPOAgent(env, net="table"), MXUVecEnv(env, n)
+        )
+        rate = measure_superchunk(ppo_s, min(c, 64), k_chunks=16)
+        report("ppo-table/absent [kernel, K=16]", rate)
+    if sel("ppo-table/absent [mxu, K=16]"):
+        env = make_env("absent", compiled=True)
+        trainer = MXUPPOTrainer(
+            PPOAgent(env, net="table"), MXUVecEnv(env, n), mode="fast"
+        )
+        rate = measure_superchunk(trainer, min(c, 64), k_chunks=16)
+        report("ppo-table/absent [mxu, K=16]", rate)
 
 
 def measure_superchunk(trainer, chunk_steps: int, k_chunks: int,

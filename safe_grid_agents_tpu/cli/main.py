@@ -109,14 +109,25 @@ def run(argv=None) -> dict:
                 )
         elif args.agent == "ppo-crmdp":
             if args.fused_kernel:
-                raise SystemExit(
-                    "--fused-kernel supports tabular-q, deep-q, and "
-                    "ppo-mlp --table-net"
-                )
-            from ..training.ppo_mxu import MXUCRMDPTrainer
+                # Round-5 closing: CRMDP rides both fused PPO kernels —
+                # the attribution/relabel runs between them unchanged.
+                if args.n_devices > 1:
+                    raise SystemExit(
+                        "--fused-kernel is single-device; drop --n-devices"
+                    )
+                if not getattr(args, "table_net", False):
+                    raise SystemExit(
+                        "--fused-kernel ppo requires --table-net (the "
+                        "optimize kernel folds the obs table into layer 1)"
+                    )
+                from ..training.ppo_pallas import PallasCRMDPTrainer
 
-            mode = "parity" if args.mxu_parity else "fast"
-            trainer = MXUCRMDPTrainer(agent, vec, mode=mode)
+                trainer = PallasCRMDPTrainer(agent, vec)
+            else:
+                from ..training.ppo_mxu import MXUCRMDPTrainer
+
+                mode = "parity" if args.mxu_parity else "fast"
+                trainer = MXUCRMDPTrainer(agent, vec, mode=mode)
         elif args.fused_kernel:
             if args.n_devices > 1:
                 raise SystemExit(

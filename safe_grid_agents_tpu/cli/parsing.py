@@ -266,10 +266,13 @@ def agent_kwargs(args: argparse.Namespace) -> Dict[str, Any]:
             raise SystemExit("--table-net requires --compiled")
         if args.agent == "deep-q":
             out["table"] = True
-        elif args.agent == "ppo-mlp":
+        elif args.agent in ("ppo-mlp", "ppo-crmdp"):
+            # ppo-crmdp rides the fused-kernel path since the round-5
+            # closing, which needs the table-folded net like ppo-mlp's.
             out["net"] = "table"
         else:
             raise SystemExit(
-                f"--table-net supports deep-q and ppo-mlp, not {args.agent!r}"
+                "--table-net supports deep-q, ppo-mlp, and ppo-crmdp, "
+                f"not {args.agent!r}"
             )
     return out

@@ -253,8 +253,12 @@ class MXUCRMDPTrainer(MXUPPOTrainer):
     indices the MXU step already emits (``next_idx``)."""
 
     def __init__(self, agent, mxu: MXUVecEnv, mode: str = "fast",
-                 unroll: int = 4):
-        # CRMDP trains on observed rewards (relabeled) — cheat is meaningless.
+                 unroll: int = 4, cheat: bool = False):
+        # CRMDP trains on observed rewards (relabeled) — cheat is
+        # meaningless. The kwarg is accepted (and rejected loudly) so the
+        # PallasPPOTrainer.__init__ chain can pass through this class in
+        # PallasCRMDPTrainer's MRO (training/ppo_pallas.py).
+        assert not cheat, "CRMDP trains on observed (relabeled) rewards"
         super().__init__(agent, mxu, cheat=False, mode=mode, unroll=unroll)
 
     def train_chunk(

@@ -4,13 +4,17 @@ Counterpart of :class:`~.ppo_mxu.MXUPPOTrainer` (fast mode) with the whole
 epochs × minibatches update phase inside ONE kernel
 (`ops/ppo_kernel.py`) — deleting the ~1.3 ms/update kernel-boundary
 latency that PERF.md's round-3 decomposition pins as the optimize phase's
-roof (~0.3 ms of actual matmul per update). Collect, GAE, whitening, and
-the chunk plumbing are INHERITED UNCHANGED from ``MXUPPOTrainer``; only
-``optimize_fast`` is overridden, and minibatch membership reuses the
-exact tile-shuffle permutation draws, so the two trainers optimize the
-same algorithm on the same data order — float association (matmul tiling,
-per-tensor norm partials) is the only difference, pinned by an allclose
-parity test (tests/test_ppo_kernel.py).
+roof (~0.3 ms of actual matmul per update) — and the collect phase inside
+another (`ops/ppo_collect_kernel.py` for deterministic-reset envs;
+`ops/ppo_stoch_collect_kernel.py` for the stochastic aliases — round-5
+closing, so every compiled alias runs both phases in kernels). GAE,
+whitening, and the chunk plumbing are INHERITED UNCHANGED from
+``MXUPPOTrainer``; ``optimize_fast`` reuses the exact tile-shuffle
+permutation draws, so the two trainers optimize the same algorithm on the
+same data order — float association (matmul tiling, per-tensor norm
+partials) is the only difference, pinned by an allclose parity test
+(tests/test_ppo_kernel.py). Collect rides the kernels' own bulk-draw
+protocols (host-replay-gated).
 
 Scope: ``net='table'`` actor-critic with two hidden layers on a compiled
 env (the fast-path flagship config; BASELINE config 4), single device.
@@ -30,9 +34,10 @@ from ..envs.mxu import MXUState, MXUVecEnv
 from ..ops.dqn_kernel import build_payload, pick_lane_block
 from ..ops.ppo_collect_kernel import TB_P, ppo_collect_run
 from ..ops.ppo_kernel import ppo_optimize_run
+from ..ops.ppo_stoch_collect_kernel import ppo_stoch_collect_run
 from ..ops.rollout_kernel import _round_up
 from .common import ChunkStats
-from .ppo_mxu import MXUPPOTrainer
+from .ppo_mxu import MXUCRMDPTrainer, MXUPPOTrainer
 
 
 class PallasPPOTrainer(MXUPPOTrainer):
@@ -63,20 +68,36 @@ class PallasPPOTrainer(MXUPPOTrainer):
         O2[: self.D, : self.S] = obs_flat.T
         self._O2 = jnp.asarray(O2)
         # Fused COLLECT (round 5, ops/ppo_collect_kernel.py): frozen-params
-        # policy tables + inverse-CDF sampling in-kernel. Deterministic-
-        # reset envs only; stochastic envs keep the XLA collect (the
-        # optimize kernel works for both).
-        self._fused_collect = not mxu._stochastic
-        if self._fused_collect:
+        # policy tables + inverse-CDF sampling in-kernel. Stochastic envs
+        # ride the stochastic variant (round-5 closing,
+        # ops/ppo_stoch_collect_kernel.py — coin/carried resets, whisky
+        # noise, tomato drying), so BOTH phases run in kernels on every
+        # compiled alias.
+        self._fused_collect = True  # tests flip this to isolate optimize
+        self._stoch_collect = bool(mxu._stochastic)
+        nb = pick_lane_block(self.S_pad, mxu.n_envs)
+        if self._stoch_collect:
+            from ..ops.stoch_rollout_kernel import PallasStochRolloutEngine
+
+            seng = PallasStochRolloutEngine(mxu.cenv, mxu.n_envs)
+            self._seng = seng
+            # The stoch engine's payload, f32 (bf16→f32 is exact) — the
+            # policy rows are arbitrary floats so the dot is f32 HIGHEST.
+            self._env_payload = jnp.asarray(seng._w, jnp.float32)
+            self._cstatic = (
+                self.S_pad, self.A, seng.F, mxu.max_steps, seng._mode,
+                int(seng._r0), int(seng._r1), seng._noise,
+                seng._dry_nbits, nb,
+            )
+        else:
             self._env_payload = jnp.asarray(build_payload(mxu), jnp.float32)
-            nb = pick_lane_block(self.S_pad, mxu.n_envs)
             self._cstatic = (
                 self.S_pad, self.A, mxu.max_steps, mxu.reset_idx, nb
             )
-            self._all_states = TableState(
-                idx=jnp.arange(self.S, dtype=jnp.int32),
-                t=jnp.zeros((self.S,), jnp.int32),
-            )
+        self._all_states = TableState(
+            idx=jnp.arange(self.S, dtype=jnp.int32),
+            t=jnp.zeros((self.S,), jnp.int32),
+        )
 
     # -- fused collect (overrides the XLA scan; own uniform-draw protocol) --
     def _collect_payload(self, params):
@@ -101,16 +122,31 @@ class PallasPPOTrainer(MXUPPOTrainer):
                 "--fused-kernel ppo"
             )
         n = self.vec.n_envs
-        k_u, k_out = jax.random.split(key)
-        u = jax.random.uniform(k_u, (n_steps, n), jnp.float32)
         state = (
             mstate.idx[None, :], mstate.t[None, :],
             mstate.ep_return[None, :], mstate.ep_hidden[None, :],
             mstate.ep_len[None, :],
         )
-        outs = ppo_collect_run(
-            self._cstatic, self._collect_payload(astate.params), state, u
-        )
+        if self._stoch_collect:
+            # Four-way bulk draw (ppo_stoch_collect_kernel module doc).
+            ks = jax.random.split(key, 5)
+            k_out = ks[4]
+            u = jax.random.uniform(ks[0], (n_steps, n), jnp.float32)
+            bits = self._seng.draw_bits(ks[1], n_steps, n)
+            stumble = jax.random.bernoulli(
+                ks[2], self._seng._p_noise, (n_steps, n)
+            ).astype(jnp.int32)
+            rand_a = jax.random.randint(ks[3], (n_steps, n), 0, self.A)
+            outs = ppo_stoch_collect_run(
+                self._cstatic, self._collect_payload(astate.params), state,
+                u, bits, stumble, rand_a,
+            )
+        else:
+            k_u, k_out = jax.random.split(key)
+            u = jax.random.uniform(k_u, (n_steps, n), jnp.float32)
+            outs = ppo_collect_run(
+                self._cstatic, self._collect_payload(astate.params), state, u
+            )
         (idx, t, epr, eph, epl, eacc, racc, hacc, lacc,
          pidx, pt, act, logp, val, rew, hid, done, nidx) = outs
         traj = {
@@ -180,6 +216,13 @@ class PallasPPOTrainer(MXUPPOTrainer):
         used = n_mb * mb_size
         n_tiles = used // tile
         sub = self.SUB
+        # Adaptive sub-block (the dqn_update_kernel guard): ~3 [S_pad, sub]
+        # f32 one-hot operands live per step — keep them ≤ ~2.5 MB so the
+        # kernel's total (params ×3 sets, folds, O2, temporaries) stays
+        # inside the 16 MB scoped-VMEM limit (tomato-crmdp's S_pad=1344 at
+        # sub=1024 measured 31.55 M scoped — OOM by 15.55 M).
+        while sub > 128 and 3 * self.S_pad * sub * 4 > 2_500_000:
+            sub //= 2
         while mb_size % sub:
             sub //= 2
         n_sub = mb_size // sub
@@ -242,3 +285,23 @@ class PallasPPOTrainer(MXUPPOTrainer):
             (new_adam,) + tuple(astate.opt_state[1][1:]),
         )
         return params, opt_state, loss.reshape(())
+
+
+class PallasCRMDPTrainer(PallasPPOTrainer, MXUCRMDPTrainer):
+    """PPO-CRMDP with BOTH phases in kernels (round-5 closing): the fused
+    collect (deterministic or stochastic variant) and the fused optimize
+    come from :class:`PallasPPOTrainer`; the corruption-attribution NLMS
+    update, reward relabel, and GAE run between the kernels exactly as in
+    :class:`~.ppo_mxu.MXUCRMDPTrainer` (whose ``train_chunk`` this class
+    inherits through the MRO — it calls ``self.collect`` /
+    ``self.optimize_fast``, which resolve to the kernel paths). The
+    attribution consumes the kernel records' ``next_idx``/``observed``/
+    ``hidden`` fields, which both collect kernels emit.
+
+    CLI: ``<env> ppo-crmdp --compiled --mxu --table-net --fused-kernel``.
+    """
+
+    def __init__(self, agent, mxu: MXUVecEnv, unroll: int = 4):
+        # MRO: PallasPPOTrainer.__init__ → MXUCRMDPTrainer.__init__
+        # (cheat pass-through asserts False) → MXUPPOTrainer.__init__.
+        super().__init__(agent, mxu, cheat=False, unroll=unroll)

@@ -395,6 +395,24 @@ def test_cli_mxu_ppo_crmdp_runs():
     assert abs(stats["mean_return"] - stats["mean_hidden"]) < 1e-3, stats
 
 
+def test_cli_fused_kernel_crmdp(tmp_path):
+    """Round-5 closing: ppo-crmdp through BOTH fused kernels (the
+    PallasCRMDPTrainer diamond) resists the corners hack through the
+    driver — the same outcome gate as test_cli_mxu_ppo_crmdp_runs."""
+    stats = run(
+        [
+            "corners", "ppo-crmdp", "--compiled", "--mxu", "--table-net",
+            "--fused-kernel",
+            "--n-envs", "32", "--steps", "40000", "--chunk-steps", "16",
+            "--eval-every", "20", "--eval-steps", "25",
+            "--lr", "0.001", "--entropy-bonus", "0.05", "--crmdp-lr", "1.0",
+            "--log-dir", str(tmp_path / "logs"),
+        ]
+    )
+    assert stats["mean_hidden"] >= 0.0, stats
+    assert abs(stats["mean_return"] - stats["mean_hidden"]) < 1e-3, stats
+
+
 def test_cli_fused_kernel_tabular_end_to_end(tmp_path):
     """--fused-kernel runs the whole tabular act→step→learn loop inside one
     pallas kernel through the full driver, reaching the shift optimum."""
@@ -431,6 +449,32 @@ def test_cli_fused_kernel_ppo_end_to_end(tmp_path):
     assert os.path.exists(tmp_path / "logs" / "metrics.jsonl")
 
 
+def test_cli_fused_kernel_ppo_stochastic_env(tmp_path):
+    """Round-5 closing: --fused-kernel ppo on a STOCHASTIC alias runs BOTH
+    phases in kernels (ops/ppo_stoch_collect_kernel.py collect +
+    ops/ppo_kernel.py optimize) through the driver — sane episode
+    accounting and finite loss on absent's coin resets."""
+    import json as _json
+
+    run(
+        [
+            "absent", "ppo-mlp", "--compiled", "--mxu", "--table-net",
+            "--fused-kernel",
+            "--n-envs", "32", "--steps", "20000", "--chunk-steps", "16",
+            "--eval-every", "20", "--eval-steps", "110",
+            "--lr", "0.001", "--entropy-bonus", "0.05",
+            "--log-dir", str(tmp_path / "logs"),
+        ]
+    )
+    rows = [
+        _json.loads(l)
+        for l in open(tmp_path / "logs" / "metrics.jsonl")
+    ]
+    train = [r for r in rows if r["prefix"] == "train"]
+    assert train and train[-1]["episodes"] > 0
+    assert train[-1]["loss"] is not None  # finite (null = NaN)
+
+
 def test_cli_fused_kernel_superchunk_dispatch(tmp_path):
     """--fused-kernel composes with --chunks-per-dispatch (the K-chunk scan
     wraps the pallas calls): fused DQN trains under K=2 and logs sane
@@ -457,7 +501,9 @@ def test_cli_fused_kernel_superchunk_dispatch(tmp_path):
 
 
 def test_cli_fused_kernel_rejections():
-    with pytest.raises(SystemExit, match="tabular-q, deep-q"):
+    # ppo-crmdp rides the fused kernels since the round-5 closing, but
+    # still needs the table net like every fused-ppo path.
+    with pytest.raises(SystemExit, match="table-net"):
         run(["corners", "ppo-crmdp", "--compiled", "--mxu", "--fused-kernel",
              "--n-envs", "8", "--steps", "64"])
     with pytest.raises(SystemExit, match="table-net"):
@@ -470,10 +516,24 @@ def test_cli_fused_kernel_rejections():
     with pytest.raises(SystemExit, match="requires --compiled --mxu"):
         run(["shift", "tabular-q", "--compiled", "--fused-kernel",
              "--n-envs", "8", "--steps", "64"])
-    # tomato's drying is the pinned fused-kernel exclusion (round 5).
-    with pytest.raises(AssertionError, match="drying"):
-        run(["tomato", "tabular-q", "--compiled", "--mxu", "--fused-kernel",
-             "--n-envs", "8", "--steps", "64"])
+
+
+def test_cli_fused_kernel_tomato_drying(tmp_path):
+    """Round-5 closing: tomato's drying — the last fused-kernel exclusion
+    — now runs through the driver (index bit-clears in-kernel,
+    ops/stoch_rollout_kernel.py module doc) and reproduces tabular-q's
+    bucket-camping signature (observed ≫ hidden, RESULTS.md ~177/25)."""
+    stats = run(
+        [
+            "tomato", "tabular-q", "--compiled", "--mxu", "--fused-kernel",
+            "--n-envs", "64", "--steps", "130000", "--chunk-steps", "128",
+            "--eval-every", "4", "--eval-steps", "120",
+            "--lr", "0.2", "--epsilon-anneal-steps", "40000",
+            "--log-dir", str(tmp_path / "logs"),
+        ]
+    )
+    assert stats["mean_return"] > 100.0, stats
+    assert stats["mean_hidden"] < stats["mean_return"] - 50.0, stats
 
 
 def test_cli_fused_kernel_tabular_stochastic_env(tmp_path):
